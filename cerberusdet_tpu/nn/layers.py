@@ -1,0 +1,423 @@
+"""YOLOv8 layer zoo, TPU-native (NHWC, bf16 compute, XLA-fused epilogues).
+
+Behavioral parity targets (not ports): cerberusdet/models/common.py:11-295
+(Conv/C2f/SPPF/... definitions) and cerberusdet/models/yolo.py:48-110
+(DFL + Detect head). Everything here is a static-config object with pure
+`init`/`__call__`; see nn/module.py for the conventions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cerberusdet_tpu.nn.module import (
+    Ctx,
+    Params,
+    Path,
+    autopad,
+    batch_norm,
+    conv2d,
+    init_bn,
+    init_conv_w,
+    kaiming_uniform,
+    silu,
+    split_rng,
+)
+from cerberusdet_tpu.ops.anchors import dfl_expectation, dist2bbox, make_anchors
+
+
+class Layer:
+    """Base: static config + pure init/apply. `c2` = output channels."""
+
+    c2: int = 0
+
+    def init(self, rng) -> Params:
+        raise NotImplementedError
+
+    def __call__(self, p: Params, x, ctx: Ctx, path: Path = ()):
+        raise NotImplementedError
+
+
+class Conv(Layer):
+    """Conv2d + BatchNorm + SiLU (common.py:51-68)."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, d=1, act=True):
+        self.c1, self.c2, self.k, self.s, self.p, self.g, self.d = c1, c2, k, s, p, g, d
+        self.act = act
+
+    def init(self, rng) -> Params:
+        return {"w": init_conv_w(rng, self.k, self.c1, self.c2, self.g), "bn": init_bn(self.c2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        y = conv2d(x, p["w"], self.s, self.p, self.g, self.d, ctx.dtype)
+        if "bn" in p:
+            y = batch_norm(p["bn"], y, ctx, path + ("bn",))
+        elif "b" in p:
+            y = y + p["b"]
+        if self.act:
+            y = silu(y)
+        return y.astype(ctx.dtype)
+
+    def fuse(self, p: Params) -> Params:
+        """Fold BN into w/b for inference."""
+        from cerberusdet_tpu.nn.module import fuse_conv_bn
+
+        if "bn" not in p:
+            return p
+        w, b = fuse_conv_bn(p["w"], p["bn"])
+        return {"w": w, "b": b}
+
+
+class DWConv(Conv):
+    """Depthwise conv (common.py:11)."""
+
+    def __init__(self, c1, c2, k=1, s=1, act=True):
+        super().__init__(c1, c2, k, s, g=math.gcd(c1, c2), act=act)
+
+
+class PlainConv(Layer):
+    """Bare Conv2d with bias, no BN, no activation (Detect towers' last 1x1)."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None):
+        self.c1, self.c2, self.k, self.s, self.p = c1, c2, k, s, p
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        fan_in = self.c1 * self.k * self.k
+        bound = 1.0 / math.sqrt(fan_in)
+        return {
+            "w": init_conv_w(r1, self.k, self.c1, self.c2),
+            "b": jax.random.uniform(r2, (self.c2,), jnp.float32, -bound, bound),
+        }
+
+    def __call__(self, p, x, ctx, path=()):
+        y = conv2d(x, p["w"], self.s, self.p, dtype=ctx.dtype)
+        return (y + p["b"]).astype(ctx.dtype)
+
+
+class Seq(Layer):
+    """Sequential container; params keyed '0', '1', ..."""
+
+    def __init__(self, *layers: Layer):
+        self.layers = list(layers)
+        self.c2 = self.layers[-1].c2 if self.layers else 0
+
+    def init(self, rng) -> Params:
+        keys = split_rng(rng, max(len(self.layers), 1))
+        return {str(i): l.init(k) for i, (l, k) in enumerate(zip(self.layers, keys))}
+
+    def __call__(self, p, x, ctx, path=()):
+        for i, layer in enumerate(self.layers):
+            x = layer(p[str(i)], x, ctx, path + (str(i),))
+        return x
+
+
+class Bottleneck(Layer):
+    """Standard bottleneck (common.py:107-117)."""
+
+    def __init__(self, c1, c2, shortcut=True, g=1, k=(3, 3), e=0.5):
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, k[0], 1)
+        self.cv2 = Conv(c_, c2, k[1], 1, g=g)
+        self.add = shortcut and c1 == c2
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        return {"cv1": self.cv1.init(r1), "cv2": self.cv2.init(r2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, path + ("cv1",)), ctx, path + ("cv2",))
+        return x + y if self.add else y
+
+
+class C2f(Layer):
+    """Faster CSP bottleneck with 2 convs — the main YOLOv8 block
+    (common.py:174-197). Channel-last chunk/concat keeps everything
+    contiguous for XLA."""
+
+    def __init__(self, c1, c2, n=1, shortcut=False, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv((2 + n) * self.c, c2, 1)
+        self.m = [Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0) for _ in range(n)]
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        keys = split_rng(rng, 2 + len(self.m))
+        return {
+            "cv1": self.cv1.init(keys[0]),
+            "cv2": self.cv2.init(keys[1]),
+            "m": {str(i): b.init(k) for i, (b, k) in enumerate(zip(self.m, keys[2:]))},
+        }
+
+    def __call__(self, p, x, ctx, path=()):
+        y = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+        ys = [y[..., : self.c], y[..., self.c :]]
+        for i, b in enumerate(self.m):
+            ys.append(b(p["m"][str(i)], ys[-1], ctx, path + ("m", str(i))))
+        return self.cv2(p["cv2"], jnp.concatenate(ys, axis=-1), ctx, path + ("cv2",))
+
+
+class C2(Layer):
+    """CSP bottleneck with 2 convs (common.py:154-171)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        self.c = int(c2 * e)
+        self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+        self.cv2 = Conv(2 * self.c, c2, 1)
+        self.m = Seq(*[Bottleneck(self.c, self.c, shortcut, g, k=(3, 3), e=1.0) for _ in range(n)])
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2, r3 = split_rng(rng, 3)
+        return {"cv1": self.cv1.init(r1), "cv2": self.cv2.init(r2), "m": self.m.init(r3)}
+
+    def __call__(self, p, x, ctx, path=()):
+        y = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+        a, b = y[..., : self.c], y[..., self.c :]
+        a = self.m(p["m"], a, ctx, path + ("m",))
+        return self.cv2(p["cv2"], jnp.concatenate([a, b], axis=-1), ctx, path + ("cv2",))
+
+
+class C3(Layer):
+    """CSP bottleneck with 3 convs (common.py:139-151)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c1, c_, 1, 1)
+        self.cv3 = Conv(2 * c_, c2, 1)
+        self.m = Seq(*[Bottleneck(c_, c_, shortcut, g, e=1.0) for _ in range(n)])
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2, r3, r4 = split_rng(rng, 4)
+        return {
+            "cv1": self.cv1.init(r1),
+            "cv2": self.cv2.init(r2),
+            "cv3": self.cv3.init(r3),
+            "m": self.m.init(r4),
+        }
+
+    def __call__(self, p, x, ctx, path=()):
+        a = self.m(p["m"], self.cv1(p["cv1"], x, ctx, path + ("cv1",)), ctx, path + ("m",))
+        b = self.cv2(p["cv2"], x, ctx, path + ("cv2",))
+        return self.cv3(p["cv3"], jnp.concatenate([a, b], axis=-1), ctx, path + ("cv3",))
+
+
+def max_pool(x, k: int, s: int = 1, p: Optional[int] = None):
+    p = k // 2 if p is None else p
+    neg = jnp.asarray(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding=[(0, 0), (p, p), (p, p), (0, 0)],
+    )
+
+
+class SPP(Layer):
+    """Spatial pyramid pooling (common.py:216-227)."""
+
+    def __init__(self, c1, c2, k=(5, 9, 13)):
+        c_ = c1 // 2
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c_ * (len(k) + 1), c2, 1, 1)
+        self.k = k
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        return {"cv1": self.cv1.init(r1), "cv2": self.cv2.init(r2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        x = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+        ys = [x] + [max_pool(x, k) for k in self.k]
+        return self.cv2(p["cv2"], jnp.concatenate(ys, axis=-1), ctx, path + ("cv2",))
+
+
+class SPPF(Layer):
+    """Fast SPP: 3 chained k-pools == SPP(k, 2k-1, 3k-2) (common.py:230-245)."""
+
+    def __init__(self, c1, c2, k=5):
+        c_ = c1 // 2
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = Conv(c_ * 4, c2, 1, 1)
+        self.k = k
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        return {"cv1": self.cv1.init(r1), "cv2": self.cv2.init(r2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        x = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+        y1 = max_pool(x, self.k)
+        y2 = max_pool(y1, self.k)
+        y3 = max_pool(y2, self.k)
+        return self.cv2(p["cv2"], jnp.concatenate([x, y1, y2, y3], axis=-1), ctx, path + ("cv2",))
+
+
+class Focus(Layer):
+    """Space-to-depth stem (common.py:248-257)."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1, act=True):
+        self.conv = Conv(c1 * 4, c2, k, s, p, g, act=act)
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        return {"conv": self.conv.init(rng)}
+
+    def __call__(self, p, x, ctx, path=()):
+        y = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
+            axis=-1,
+        )
+        return self.conv(p["conv"], y, ctx, path + ("conv",))
+
+
+class GhostConv(Layer):
+    """Ghost convolution (experimental.py:29-41)."""
+
+    def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
+        c_ = c2 // 2
+        self.cv1 = Conv(c1, c_, k, s, None, g, act=act)
+        self.cv2 = Conv(c_, c_, 5, 1, None, c_, act=act)
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        return {"cv1": self.cv1.init(r1), "cv2": self.cv2.init(r2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        y = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+        return jnp.concatenate([y, self.cv2(p["cv2"], y, ctx, path + ("cv2",))], axis=-1)
+
+
+class Concat(Layer):
+    """Concatenate a list of NHWC tensors on channels (common.py:288-295)."""
+
+    def __init__(self, dimension: int = 1):
+        # Reference uses NCHW dim=1 == channels; NHWC channels are axis -1.
+        self.axis = -1 if dimension == 1 else dimension
+        self.c2 = 0  # filled by the config parser
+
+    def init(self, rng) -> Params:
+        return {}
+
+    def __call__(self, p, xs, ctx, path=()):
+        return jnp.concatenate(xs, axis=self.axis)
+
+
+class Upsample(Layer):
+    """Nearest-neighbor integer upsample (torch nn.Upsample equivalent)."""
+
+    def __init__(self, size=None, scale_factor: int = 2, mode: str = "nearest"):
+        assert size is None and mode == "nearest", "only integer nearest upsample supported"
+        self.f = int(scale_factor)
+        self.c2 = 0
+
+    def init(self, rng) -> Params:
+        return {}
+
+    def __call__(self, p, x, ctx, path=()):
+        return jnp.repeat(jnp.repeat(x, self.f, axis=1), self.f, axis=2)
+
+
+class Detect(Layer):
+    """YOLOv8 anchor-free decoupled detection head (yolo.py:64-110).
+
+    Train output: list of per-level (B, H, W, 4*reg_max + nc) maps (NHWC).
+    Eval output: (preds, feats) where preds is (B, N, 4 + nc):
+    xywh boxes in input pixels + sigmoid class scores, all levels flattened.
+    The DFL decode is a softmax+projection fused by XLA into the head epilogue.
+    """
+
+    def __init__(self, nc: int, ch: Sequence[int] = ()):
+        self.nc = nc
+        self.reg_max = 16
+        self.no = nc + self.reg_max * 4
+        self.nl = len(ch)
+        self.ch = tuple(ch)
+        c2 = max(16, ch[0] // 4, self.reg_max * 4)
+        c3 = max(ch[0], min(nc, 100))
+        self.box_towers = [
+            Seq(Conv(c, c2, 3), Conv(c2, c2, 3), PlainConv(c2, 4 * self.reg_max, 1)) for c in ch
+        ]
+        self.cls_towers = [
+            Seq(Conv(c, c3, 3), Conv(c3, c3, 3), PlainConv(c3, nc, 1)) for c in ch
+        ]
+        self.stride: Tuple[float, ...] = tuple(2 ** (3 + i) for i in range(self.nl))
+        self.c2 = self.no
+
+    def init(self, rng) -> Params:
+        keys = split_rng(rng, 2 * self.nl)
+        p: Params = {}
+        for i in range(self.nl):
+            p[f"box{i}"] = self.box_towers[i].init(keys[2 * i])
+            p[f"cls{i}"] = self.cls_towers[i].init(keys[2 * i + 1])
+        return self.bias_init(p)
+
+    def bias_init(self, p: Params) -> Params:
+        """Prior-aware bias init (yolo.py:102-110)."""
+        p = jax.tree_util.tree_map(lambda x: x, p)  # shallow-ish copy via tree rebuild
+        for i, s in enumerate(self.stride):
+            box_last = dict(p[f"box{i}"]["2"])
+            box_last["b"] = jnp.full_like(box_last["b"], 1.0)
+            pb = dict(p[f"box{i}"])
+            pb["2"] = box_last
+            p = {**p, f"box{i}": pb}
+            cls_last = dict(p[f"cls{i}"]["2"])
+            cls_last["b"] = jnp.full_like(
+                cls_last["b"], math.log(5 / self.nc / (640 / s) ** 2)
+            )
+            pc = dict(p[f"cls{i}"])
+            pc["2"] = cls_last
+            p = {**p, f"cls{i}": pc}
+        return p
+
+    def __call__(self, p, xs: List, ctx: Ctx, path: Path = ()):
+        assert len(xs) == self.nl
+        feats = []
+        for i, x in enumerate(xs):
+            box = self.box_towers[i](p[f"box{i}"], x, ctx, path + (f"box{i}",))
+            cls = self.cls_towers[i](p[f"cls{i}"], x, ctx, path + (f"cls{i}",))
+            feats.append(jnp.concatenate([box, cls], axis=-1))
+        if ctx.train:
+            return feats
+        return self.decode(feats), feats
+
+    def decode(self, feats: List):
+        """Flatten levels and decode boxes (eval/inference path)."""
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, strides = make_anchors(shapes, self.stride)
+        b = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        distri, cls = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        dist = dfl_expectation(distri.astype(jnp.float32), self.reg_max)
+        boxes = dist2bbox(dist, anchors[None], xywh=True) * strides[None]
+        return jnp.concatenate([boxes, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1)
+
+
+# Registry used by the model-config interpreter (models/config.py).
+LAYERS = {
+    "Conv": Conv,
+    "DWConv": DWConv,
+    "Bottleneck": Bottleneck,
+    "C2": C2,
+    "C2f": C2f,
+    "C3": C3,
+    "SPP": SPP,
+    "SPPF": SPPF,
+    "Focus": Focus,
+    "GhostConv": GhostConv,
+    "Concat": Concat,
+    "nn.Upsample": Upsample,
+    "Upsample": Upsample,
+    "Detect": Detect,
+}

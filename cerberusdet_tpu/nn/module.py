@@ -1,0 +1,154 @@
+"""Minimal functional NN core for the TPU-native layer zoo.
+
+Design (deliberately NOT a port of torch nn.Module):
+  * Parameters live in plain nested dicts (a pytree). A layer object holds only
+    static configuration; `layer.init(rng) -> params` and
+    `layer(params, x, ctx, path) -> y` are pure.
+  * BatchNorm running statistics are stored inside the same params tree (leaves
+    "mean"/"var"); during training the new running stats are *collected* into
+    `ctx.updates` (a flat {path-tuple: array} dict) and merged functionally by
+    the train step. This replaces torch's in-place buffer mutation.
+  * Layout is NHWC / HWIO (TPU-native); compute dtype is configurable (bf16 on
+    the MXU with fp32 accumulation), statistics & params are fp32.
+
+Reference behavior being matched (not ported): cerberusdet/models/common.py
+(Conv = Conv2d+BN(eps=1e-3, momentum=0.03)+SiLU, fuseforward),
+cerberusdet/utils/torch_utils.py:179-217 (initialize_weights, fuse_conv_and_bn).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+Path = Tuple[str, ...]
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.03
+
+
+class Ctx:
+    """Trace-time context threaded through a forward pass."""
+
+    def __init__(self, train: bool = False, dtype=jnp.float32, freeze_bn: bool = False):
+        self.train = train
+        self.dtype = dtype  # compute dtype for convs (params stay fp32)
+        self.freeze_bn = freeze_bn  # when True, use running stats even in train
+        self.updates: Dict[Path, jnp.ndarray] = {}
+
+    def put_update(self, path: Path, value) -> None:
+        self.updates[path] = value
+
+    def replace(self, **kw) -> "Ctx":
+        new = Ctx(train=self.train, dtype=self.dtype, freeze_bn=self.freeze_bn)
+        new.__dict__.update(kw)
+        new.updates = self.updates  # share the collector
+        return new
+
+
+def merge_updates(params: Params, updates: Dict[Path, jnp.ndarray]) -> Params:
+    """Return a copy of `params` with flat-path updates written in."""
+    if not updates:
+        return params
+    out = dict(params)
+
+    def _set(d: Dict[str, Any], path: Path, value):
+        key = path[0]
+        if len(path) == 1:
+            d[key] = value
+            return
+        child = dict(d[key])
+        _set(child, path[1:], value)
+        d[key] = child
+
+    for path, value in updates.items():
+        _set(out, path, value)
+    return out
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-ish padding used throughout YOLO configs."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+def kaiming_uniform(rng, shape, fan_in: int, dtype=jnp.float32, a: float = math.sqrt(5)):
+    gain = math.sqrt(2.0 / (1 + a * a))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_conv_w(rng, k: int, c_in: int, c_out: int, groups: int = 1, dtype=jnp.float32):
+    """HWIO conv kernel with torch-default kaiming-uniform fan-in init."""
+    fan_in = (c_in // groups) * k * k
+    return kaiming_uniform(rng, (k, k, c_in // groups, c_out), fan_in, dtype)
+
+
+def init_bn(c: int, dtype=jnp.float32) -> Params:
+    return {
+        "scale": jnp.ones((c,), dtype),
+        "bias": jnp.zeros((c,), dtype),
+        "mean": jnp.zeros((c,), dtype),
+        "var": jnp.ones((c,), dtype),
+    }
+
+
+def conv2d(x, w, stride: int = 1, padding: Optional[int] = None, groups: int = 1,
+           dilation: int = 1, dtype=jnp.float32):
+    """NHWC conv with fp32 MXU accumulation; inputs cast to compute dtype."""
+    k = w.shape[0]
+    p = autopad(k, padding, dilation)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        w.astype(dtype),
+        window_strides=(stride, stride),
+        padding=[(p, p), (p, p)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return y  # fp32 out; caller applies BN/act then downcasts
+
+
+def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM,
+               eps: float = BN_EPS):
+    """BN over N,H,W. Training mode normalizes with batch stats and collects
+    updated running stats into ctx (torch semantics: biased var for
+    normalization, unbiased for the running update)."""
+    x32 = x.astype(jnp.float32)
+    if ctx.train and not ctx.freeze_bn:
+        axes = tuple(range(x32.ndim - 1))
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
+        n = 1
+        for ax in axes:
+            n *= x32.shape[ax]
+        unbiased = var * (n / max(n - 1, 1))
+        ctx.put_update(path + ("mean",), (1 - momentum) * p["mean"] + momentum * mean)
+        ctx.put_update(path + ("var",), (1 - momentum) * p["var"] + momentum * unbiased)
+    else:
+        mean, var = p["mean"], p["var"]
+    inv = jax.lax.rsqrt(var + eps) * p["scale"]
+    return x32 * inv + (p["bias"] - mean * inv)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def fuse_conv_bn(w, bn: Params, eps: float = BN_EPS):
+    """Fold BN into conv weights/bias for inference (HWIO layout)."""
+    inv = jax.lax.rsqrt(bn["var"] + eps) * bn["scale"]
+    w_f = w * inv[None, None, None, :]
+    b_f = bn["bias"] - bn["mean"] * inv
+    return w_f, b_f
+
+
+def split_rng(rng, n: int):
+    return list(jax.random.split(rng, n))
