@@ -1,0 +1,149 @@
+"""Device-side NMS with static shapes (jit/vmap-friendly, TPU-native).
+
+Behavioral parity targets (not ports):
+  cerberusdet/utils/general.py:360-481 (non_max_suppression: conf filter,
+  multi-label expansion, class-offset batched NMS, max_nms/max_det caps)
+  cerberusdet/utils/general.py:484-554 (nms_between_tasks: cross-task dedup
+  keeping the highest-confidence box).
+
+Differences by design (TPU-first):
+  * Outputs are FIXED-SHAPE (B, max_det, 6) with a valid-count per image —
+    ragged per-image lists do not exist under XLA. Padding rows have conf 0.
+  * Greedy suppression is an on-device fori_loop (argmax + vectorized IoU
+    masking per step) instead of torchvision.ops.nms; candidate selection uses
+    top_k instead of boolean indexing. No wall-clock circuit breaker is needed
+    (general.py:417) — the op has a static cost.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cerberusdet_tpu.ops.boxes import box_iou, xywh2xyxy
+
+MAX_WH = 4096.0  # class-offset multiplier (plenty above any input size)
+
+
+def greedy_nms(boxes, scores, iou_thres: float, max_det: int):
+    """Exact greedy NMS over K candidates.
+
+    Args:
+      boxes: (K, 4) xyxy (already class-offset if class-aware).
+      scores: (K,) confidence; entries <= 0 are ignored.
+    Returns:
+      idx: (max_det,) selected candidate indices (argmax order = score order).
+      valid: (max_det,) bool.
+    """
+    def body(i, state):
+        live, idx, val = state
+        j = jnp.argmax(live)
+        s = live[j]
+        iou = box_iou(boxes[j][None], boxes)[0]
+        live = jnp.where(iou > iou_thres, 0.0, live)
+        live = live.at[j].set(0.0)
+        idx = idx.at[i].set(j)
+        val = val.at[i].set(s > 0.0)
+        return live, idx, val
+
+    idx0 = jnp.zeros((max_det,), jnp.int32)
+    val0 = jnp.zeros((max_det,), bool)
+    _, idx, valid = jax.lax.fori_loop(0, max_det, body, (scores, idx0, val0))
+    return idx, valid
+
+
+def _select_candidates(pred, nc: int, conf_thres: float, multi_label: bool,
+                       classes: Optional[Sequence[int]], max_nms: int):
+    """pred: (N, 4+nc) xywh+scores -> (boxes_xyxy (K,4), conf (K,), cls (K,))."""
+    boxes = xywh2xyxy(pred[:, :4])
+    scores = pred[:, 4:4 + nc]
+    if classes is not None:
+        keep = jnp.zeros((nc,), bool).at[jnp.asarray(list(classes))].set(True)
+        scores = jnp.where(keep[None, :], scores, 0.0)
+    if multi_label and nc > 1:
+        flat = jnp.where(scores > conf_thres, scores, 0.0).reshape(-1)
+        k = min(max_nms, flat.shape[0])
+        conf, fidx = jax.lax.top_k(flat, k)
+        aidx = fidx // nc
+        cls = (fidx % nc).astype(jnp.float32)
+        return boxes[aidx], conf, cls
+    conf_all = jnp.max(scores, axis=1)
+    cls_all = jnp.argmax(scores, axis=1).astype(jnp.float32)
+    conf_all = jnp.where(conf_all > conf_thres, conf_all, 0.0)
+    k = min(max_nms, conf_all.shape[0])
+    conf, aidx = jax.lax.top_k(conf_all, k)
+    return boxes[aidx], conf, cls_all[aidx]
+
+
+@partial(jax.jit, static_argnames=("nc", "conf_thres", "iou_thres", "classes",
+                                   "agnostic", "multi_label", "max_det", "max_nms"))
+def non_max_suppression(
+    prediction,
+    nc: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes: Optional[Tuple[int, ...]] = None,
+    agnostic: bool = False,
+    multi_label: bool = False,
+    max_det: int = 300,
+    max_nms: int = 30000,
+):
+    """Batched NMS. prediction: (B, N, 4+nc) with xywh pixel boxes + sigmoid
+    class scores (the Detect eval output).
+
+    Returns:
+      dets: (B, max_det, 6) rows [x1, y1, x2, y2, conf, cls]; padding conf 0.
+      counts: (B,) number of valid detections per image.
+    """
+    def single(pred):
+        boxes, conf, cls = _select_candidates(pred, nc, conf_thres, multi_label, classes, max_nms)
+        offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
+        idx, valid = greedy_nms(boxes + offset[:, None], conf, iou_thres, max_det)
+        det = jnp.concatenate(
+            [boxes[idx], conf[idx][:, None], cls[idx][:, None]], axis=1
+        )
+        det = jnp.where(valid[:, None], det, 0.0)
+        return det, jnp.sum(valid.astype(jnp.int32))
+
+    return jax.vmap(single)(prediction)
+
+
+@partial(jax.jit, static_argnames=("iou_thres",))
+def cross_task_suppress(dets, task_idx, iou_thres: float = 0.8):
+    """Cross-task dedup: if boxes from DIFFERENT tasks overlap above
+    `iou_thres`, keep only the highest-confidence one.
+
+    Vectorized equivalent of the reference's sequential scan
+    (general.py:535-554): processing rows in order, a not-yet-deleted row
+    deletes every member of its overlap group except the highest-scoring one.
+
+    Args:
+      dets: (M, 6) rows [x1, y1, x2, y2, conf, cls] (padding rows conf 0).
+      task_idx: (M,) int task index of each row.
+    Returns: keep: (M,) bool (padding rows excluded).
+    """
+    m = dets.shape[0]
+    boxes, conf = dets[:, :4], dets[:, 4]
+    iou = box_iou(boxes, boxes)
+    cross = task_idx[:, None] != task_idx[None, :]
+    valid = (conf > 0.0)
+    overlap = (iou > iou_thres) & cross & valid[:, None] & valid[None, :]
+    # Reference scans rows of the (task_i < task_j) upper block matrix.
+    upper = task_idx[:, None] < task_idx[None, :]
+    row_overlap = overlap & upper
+
+    def body(i, state):
+        deleted = state
+        idxs = row_overlap[i] & ~deleted
+        group = idxs.at[i].set(True)
+        any_overlap = jnp.any(idxs) & ~deleted[i]
+        group_scores = jnp.where(group, conf, -1.0)
+        winner = jnp.argmax(group_scores)
+        to_del = group & (jnp.arange(m) != winner)
+        return jnp.where(any_overlap, deleted | to_del, deleted)
+
+    deleted = jax.lax.fori_loop(0, m, body, jnp.zeros((m,), bool))
+    return valid & ~deleted

@@ -1,0 +1,124 @@
+import numpy as np
+import jax.numpy as jnp
+
+from cerberusdet_tpu.ops.nms import cross_task_suppress, greedy_nms, non_max_suppression
+
+
+def _pred(boxes_xywh, scores):
+    """Build a (1, N, 4+nc) prediction array."""
+    return jnp.concatenate([jnp.asarray(boxes_xywh), jnp.asarray(scores)], axis=1)[None]
+
+
+def test_greedy_nms_suppresses_overlaps():
+    boxes = jnp.array([[0.0, 0, 10, 10], [1.0, 1, 11, 11], [20.0, 20, 30, 30]])
+    scores = jnp.array([0.9, 0.8, 0.7])
+    idx, valid = greedy_nms(boxes, scores, iou_thres=0.5, max_det=3)
+    kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept == {0, 2}
+
+
+def test_nms_basic_and_padding():
+    boxes = [[50, 50, 20, 20], [51, 51, 20, 20], [150, 150, 30, 30]]
+    scores = [[0.9, 0.0], [0.85, 0.0], [0.0, 0.7]]
+    dets, counts = non_max_suppression(_pred(boxes, scores), nc=2, conf_thres=0.25, iou_thres=0.5)
+    assert dets.shape == (1, 300, 6)
+    assert int(counts[0]) == 2
+    d = np.asarray(dets[0][:2])
+    # highest conf first
+    assert d[0, 4] >= d[1, 4]
+    assert set(d[:, 5].tolist()) == {0.0, 1.0}
+    # padding rows zero
+    assert np.all(np.asarray(dets[0][2:]) == 0)
+
+
+def test_nms_class_aware_keeps_different_classes():
+    # same box, two classes above threshold -> both kept when not agnostic
+    boxes = [[50, 50, 20, 20], [50, 50, 20, 20]]
+    scores = [[0.9, 0.0], [0.0, 0.8]]
+    dets, counts = non_max_suppression(_pred(boxes, scores), nc=2)
+    assert int(counts[0]) == 2
+    dets, counts = non_max_suppression(_pred(boxes, scores), nc=2, agnostic=True)
+    assert int(counts[0]) == 1
+
+
+def test_nms_multi_label():
+    boxes = [[50, 50, 20, 20]]
+    scores = [[0.9, 0.8]]
+    dets, counts = non_max_suppression(_pred(boxes, scores), nc=2, multi_label=True)
+    assert int(counts[0]) == 2  # one box reported under both classes
+    dets, counts = non_max_suppression(_pred(boxes, scores), nc=2, multi_label=False)
+    assert int(counts[0]) == 1
+
+
+def test_nms_conf_threshold_filters():
+    boxes = [[50, 50, 20, 20], [100, 100, 20, 20]]
+    scores = [[0.9, 0.0], [0.1, 0.0]]
+    dets, counts = non_max_suppression(_pred(boxes, scores), nc=2, conf_thres=0.25)
+    assert int(counts[0]) == 1
+
+
+def test_nms_classes_filter():
+    boxes = [[50, 50, 20, 20], [100, 100, 20, 20]]
+    scores = [[0.9, 0.0], [0.0, 0.8]]
+    dets, counts = non_max_suppression(_pred(boxes, scores), nc=2, classes=(1,))
+    assert int(counts[0]) == 1
+    assert float(dets[0, 0, 5]) == 1.0
+
+
+def _numpy_greedy_nms(boxes, scores, iou_thres):
+    """Reference O(n^2) greedy NMS (torchvision.ops.nms semantics)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / (areas[i] + areas - inter + 1e-7)
+        suppressed |= iou > iou_thres
+    return np.array(keep)
+
+
+def test_nms_matches_numpy_reference():
+    rng = np.random.default_rng(42)
+    n = 200
+    xy = rng.uniform(50, 600, (n, 2))
+    wh = rng.uniform(10, 80, (n, 2))
+    boxes_xyxy = np.concatenate([xy - wh / 2, xy + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    ref = _numpy_greedy_nms(boxes_xyxy, scores, 0.5)
+    idx, valid = greedy_nms(jnp.asarray(boxes_xyxy), jnp.asarray(scores), 0.5, max_det=n)
+    ours = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_cross_task_suppress():
+    # task 0 box overlaps task 1 box; keep higher conf (task 1 here)
+    dets = jnp.array(
+        [
+            [0.0, 0, 10, 10, 0.7, 0.0],
+            [1.0, 1, 11, 11, 0.9, 5.0],
+            [50.0, 50, 60, 60, 0.8, 1.0],
+            [0.0, 0, 0, 0, 0.0, 0.0],  # padding
+        ]
+    )
+    task_idx = jnp.array([0, 1, 0, 0])
+    keep = np.asarray(cross_task_suppress(dets, task_idx, iou_thres=0.5))
+    assert keep.tolist() == [False, True, True, False]
+
+
+def test_cross_task_same_task_not_suppressed():
+    dets = jnp.array(
+        [
+            [0.0, 0, 10, 10, 0.7, 0.0],
+            [1.0, 1, 11, 11, 0.9, 1.0],
+        ]
+    )
+    keep = np.asarray(cross_task_suppress(dets, jnp.array([0, 0]), iou_thres=0.5))
+    assert keep.tolist() == [True, True]
