@@ -1,0 +1,132 @@
+"""YOLOv8 detection loss (BCE cls + CIoU box + DFL), per task, jittable.
+
+Behavioral parity target: cerberusdet/utils/loss.py:12-181. Differences by
+design (TPU-first):
+  * Batches arrive with STATIC max-GT padding + mask from the data pipeline
+    ({cls, prob, bboxes, mask} of shape (B, MAX_GT, ...)) instead of ragged
+    (n, 7) target lists — the loss compiles once per shape.
+  * masked_select is replaced with multiply-by-mask reductions (no dynamic
+    shapes under jit).
+The `prob` (soft-label) column is carried like the reference (parsed and
+threaded through; the reference loss does not weight by it — see
+loss.py:158-161 where gt_probs is split out and unused).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from cerberusdet_tpu.ops.anchors import bbox2dist, dist2bbox, make_anchors
+from cerberusdet_tpu.ops.boxes import bbox_iou, xywh2xyxy
+from cerberusdet_tpu.train.tal import TaskAlignedAssigner
+
+
+class LossItems(NamedTuple):
+    box: jnp.ndarray
+    cls: jnp.ndarray
+    dfl: jnp.ndarray
+    total: jnp.ndarray
+
+
+def _df_loss(pred_dist, target, reg_max: int):
+    """Distribution focal loss per anchor: (..., 4, reg_max) logits vs (..., 4)
+    continuous targets in [0, reg_max-1). Returns (...,) mean over 4 sides."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    take = lambda idx: jnp.take_along_axis(logp, jnp.clip(idx, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    ce = -(take(tl) * wl + take(tr) * wr)
+    return jnp.mean(ce, axis=-1)
+
+
+class DetectionLoss:
+    """Per-task loss. Construct once per task with static shapes/hyps."""
+
+    def __init__(self, nc: int, strides: Sequence[float], box_w: float = 7.5,
+                 cls_w: float = 0.5, dfl_w: float = 1.5, reg_max: int = 16,
+                 topk: int = 10, alpha: float = 0.5, beta: float = 6.0):
+        self.nc = nc
+        self.reg_max = reg_max
+        self.no = nc + 4 * reg_max
+        self.strides = tuple(strides)
+        self.weights = dict(box=box_w, cls=cls_w, dfl=dfl_w)
+        self.assigner = TaskAlignedAssigner(topk=topk, num_classes=nc, alpha=alpha, beta=beta)
+
+    def __call__(self, feats: List[jnp.ndarray], batch: Dict[str, jnp.ndarray]):
+        """
+        Args:
+          feats: per-level (B, H, W, no) NHWC Detect train outputs.
+          batch: {'cls': (B, M), 'bboxes': (B, M, 4) xywh normalized,
+                  'mask': (B, M) bool, 'prob': (B, M) optional}
+        Returns: (scalar total loss * batch_size, LossItems (detached means)).
+        """
+        b = feats[0].shape[0]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(shapes, self.strides)
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        pred_distri = flat[..., : 4 * self.reg_max].astype(jnp.float32)
+        pred_scores = flat[..., 4 * self.reg_max :].astype(jnp.float32)
+
+        img_h = shapes[0][0] * self.strides[0]
+        img_w = shapes[0][1] * self.strides[0]
+        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"].astype(jnp.float32) * scale)
+        gt_labels = batch["cls"].astype(jnp.int32)
+        mask_gt = batch["mask"]
+        # zero out padded boxes so mask_gt semantics match sum(box)>0 reference
+        gt_bboxes = jnp.where(mask_gt[:, :, None], gt_bboxes, 0.0)
+
+        # decode predicted boxes in feature units (loss.py:126-131)
+        dist = jnp.einsum(
+            "bnkr,r->bnk",
+            jax.nn.softmax(pred_distri.reshape(b, -1, 4, self.reg_max), axis=-1),
+            jnp.arange(self.reg_max, dtype=jnp.float32),
+        )
+        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)  # (B, N, 4)
+
+        assign = self.assigner(
+            jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor[None],
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+        )
+        target_scores = assign.target_scores
+        tss = jnp.maximum(jnp.sum(target_scores), 1.0)
+
+        # cls: BCE-with-logits, sum / target_scores_sum
+        bce = optax_sigmoid_bce(pred_scores, target_scores)
+        loss_cls = jnp.sum(bce) / tss
+
+        # box + dfl on foreground anchors
+        fg = assign.fg_mask
+        weight = jnp.sum(target_scores, axis=-1) * fg  # (B, N)
+        target_bboxes = assign.target_bboxes / stride_tensor[None]
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
+        loss_box = jnp.sum((1.0 - iou) * weight) / tss
+        target_ltrb = bbox2dist(anchor_points, target_bboxes, float(self.reg_max - 1))
+        dfl = _df_loss(pred_distri.reshape(b, -1, 4, self.reg_max), target_ltrb, self.reg_max)
+        loss_dfl = jnp.sum(dfl * weight) / tss
+
+        box = loss_box * self.weights["box"]
+        cls = loss_cls * self.weights["cls"]
+        dfl_l = loss_dfl * self.weights["dfl"]
+        total = box + cls + dfl_l
+        items = LossItems(*[jax.lax.stop_gradient(v) for v in (box, cls, dfl_l, total)])
+        return total * b, items
+
+
+def optax_sigmoid_bce(logits, labels):
+    """Elementwise BCE-with-logits (stable form)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def scale_loss_gains(box_w: float, cls_w: float, nl: int, imgsz: int):
+    """Gain scaling from models_manager.fill_tasks_parameters:129-136."""
+    return box_w * 3.0 / nl, cls_w * (imgsz / 640) ** 2 * 3.0 / nl

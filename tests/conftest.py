@@ -3,7 +3,9 @@ run without TPU hardware (SURVEY.md §4 'Distributed without a cluster')."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the axon sitecustomize force-registers the TPU backend and
+# sets JAX_PLATFORMS=axon; tests must run on the virtual-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
