@@ -232,13 +232,26 @@ class CerberusModel:
                 out[huid] = jax.tree_util.tree_map(lambda a: a, src)
         return out
 
-    def grad_scale_tree(self, params: Params) -> Params:
+    def grad_scale_tree(self, params: Params,
+                        tasks: Optional[Sequence[str]] = None) -> Params:
         """Per-leaf 1/serving_count multipliers for gradient averaging
         (reference: averaging.py:211-217 divides grads of shared blocks by the
-        number of tasks using them)."""
+        number of tasks using them). With `tasks` given, counts only the
+        active subset (batch-skipping semantics, averaging.py:183-192)."""
+        if tasks is None:
+            counts = self.serving_counts
+        else:
+            active = [self.task_ids.index(t) for t in tasks]
+            counts = {}
+            for ti in active:
+                for j in range(len(self.parsed.nodes)):
+                    uid = self._task_node_uid[(ti, j)]
+                    counts[uid] = counts.get(uid, 0) + 1
+            for t in tasks:
+                counts[self.head_uid(t)] = 1
         scales: Params = {}
         for uid, sub in params.items():
-            s = 1.0 / float(self.serving_counts.get(uid, 1))
+            s = 1.0 / float(max(counts.get(uid, 1), 1))
             scales[uid] = jax.tree_util.tree_map(lambda _: s, sub)
         return scales
 

@@ -212,7 +212,9 @@ class C3(Layer):
 
 def max_pool(x, k: int, s: int = 1, p: Optional[int] = None):
     p = k // 2 if p is None else p
-    neg = jnp.asarray(-jnp.inf, dtype=x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # init value must be a Python scalar (a traced/array init breaks
+    # reduce_window's linearization under jit)
+    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, k, k, 1),

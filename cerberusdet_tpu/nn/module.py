@@ -34,17 +34,20 @@ BN_MOMENTUM = 0.03
 class Ctx:
     """Trace-time context threaded through a forward pass."""
 
-    def __init__(self, train: bool = False, dtype=jnp.float32, freeze_bn: bool = False):
+    def __init__(self, train: bool = False, dtype=jnp.float32, freeze_bn: bool = False,
+                 freeze_bn_uids=frozenset()):
         self.train = train
         self.dtype = dtype  # compute dtype for convs (params stay fp32)
         self.freeze_bn = freeze_bn  # when True, use running stats even in train
+        self.freeze_bn_uids = freeze_bn_uids  # per-block freeze (freeze_shared_layers)
         self.updates: Dict[Path, jnp.ndarray] = {}
 
     def put_update(self, path: Path, value) -> None:
         self.updates[path] = value
 
     def replace(self, **kw) -> "Ctx":
-        new = Ctx(train=self.train, dtype=self.dtype, freeze_bn=self.freeze_bn)
+        new = Ctx(train=self.train, dtype=self.dtype, freeze_bn=self.freeze_bn,
+                  freeze_bn_uids=self.freeze_bn_uids)
         new.__dict__.update(kw)
         new.updates = self.updates  # share the collector
         return new
@@ -68,6 +71,23 @@ def merge_updates(params: Params, updates: Dict[Path, jnp.ndarray]) -> Params:
     for path, value in updates.items():
         _set(out, path, value)
     return out
+
+
+def apply_bn_updates(params: Params, updates: Dict[Path, jnp.ndarray],
+                     momentum: float = BN_MOMENTUM) -> Params:
+    """Fold RAW batch statistics collected by batch_norm into the running
+    stats: running = (1 - m) * running + m * batch. Call once per task forward,
+    in task order, to reproduce sequential buffer-update semantics."""
+    if not updates:
+        return params
+
+    def _get(d, path):
+        for k in path:
+            d = d[k]
+        return d
+
+    folded = {p: (1 - momentum) * _get(params, p) + momentum * v for p, v in updates.items()}
+    return merge_updates(params, folded)
 
 
 def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
@@ -122,7 +142,8 @@ def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM
     updated running stats into ctx (torch semantics: biased var for
     normalization, unbiased for the running update)."""
     x32 = x.astype(jnp.float32)
-    if ctx.train and not ctx.freeze_bn:
+    frozen = ctx.freeze_bn or (path and path[0] in ctx.freeze_bn_uids)
+    if ctx.train and not frozen:
         axes = tuple(range(x32.ndim - 1))
         mean = jnp.mean(x32, axis=axes)
         var = jnp.var(x32, axis=axes)
@@ -130,8 +151,11 @@ def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM
         for ax in axes:
             n *= x32.shape[ax]
         unbiased = var * (n / max(n - 1, 1))
-        ctx.put_update(path + ("mean",), (1 - momentum) * p["mean"] + momentum * mean)
-        ctx.put_update(path + ("var",), (1 - momentum) * p["var"] + momentum * unbiased)
+        # collect RAW batch stats; the train step folds them into the running
+        # stats sequentially per task (see apply_bn_updates), matching the
+        # reference's per-task-forward buffer updates
+        ctx.put_update(path + ("mean",), mean)
+        ctx.put_update(path + ("var",), unbiased)
     else:
         mean, var = p["mean"], p["var"]
     inv = jax.lax.rsqrt(var + eps) * p["scale"]
