@@ -1,0 +1,65 @@
+"""Device-mesh data parallelism (the TPU-native replacement for DDP/NCCL).
+
+Behavioral parity target: the reference's distributed layer (SURVEY.md §2.2) —
+torch.distributed.launch + DDP allreduce + DistributedSampler
+(train.py:376-384, samplers.py:137-184). Here there are no processes, ranks or
+explicit collectives: batches are sharded over a 1-D `data` axis of a
+jax.sharding.Mesh, params are replicated, and XLA inserts the gradient
+all-reduces over ICI when the jitted train step consumes sharded inputs.
+
+Host-sharded data loading (multi-process JAX) uses jax.process_index() to
+split file lists — see data/loaders.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = DATA_AXIS):
+    """Shard every array in the batch along its leading (batch) dimension."""
+    def put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_task_batches(batches: Dict[str, Dict[str, Any]], mesh: Mesh,
+                       axis: str = DATA_AXIS):
+    return {t: shard_batch(b, mesh, axis) for t, b in batches.items()}
+
+
+def pad_batch_to(batch: Dict[str, Any], size: int):
+    """Pad the leading dim to `size` (divisibility by mesh size); padded rows
+    get zeroed masks so they contribute nothing to the loss."""
+    def pad(x):
+        n = x.shape[0]
+        if n == size:
+            return x
+        widths = [(0, size - n)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths)
+
+    out = {k: pad(v) for k, v in batch.items()}
+    if "mask" in out:
+        n = next(iter(batch.values())).shape[0]
+        out["mask"][n:] = False
+    return out
