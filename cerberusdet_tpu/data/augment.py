@@ -1,0 +1,132 @@
+"""Host-side image-space augmentation (numpy/cv2, CPU workers).
+
+Behavioral parity target: cerberusdet/data/augmentations.py (HSV LUT :43-56,
+random_perspective :92-186, box_candidates :197-202, mixup :189-194).
+These run on the host input pipeline (mosaic/perspective are python-random,
+branchy and per-image — the wrong shape for XLA); the device path gets the
+already-augmented uint8 batch.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def augment_hsv(im: np.ndarray, hgain: float = 0.5, sgain: float = 0.5, vgain: float = 0.5):
+    """In-place HSV jitter via LUTs (RGB in, RGB out)."""
+    if hgain or sgain or vgain:
+        r = np.random.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_RGB2HSV))
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(im.dtype)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(im.dtype)
+        lut_val = np.clip(x * r[2], 0, 255).astype(im.dtype)
+        im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB, dst=im)
+    return im
+
+
+def box_candidates(box1: np.ndarray, box2: np.ndarray, wh_thr: float = 2,
+                   ar_thr: float = 100, area_thr: float = 0.1, eps: float = 1e-16):
+    """Keep boxes that survived an affine warp: min size, aspect, area ratio."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def random_perspective(
+    im: np.ndarray,
+    targets: np.ndarray = None,
+    degrees: float = 10,
+    translate: float = 0.1,
+    scale: float = 0.1,
+    shear: float = 10,
+    perspective: float = 0.0,
+    border: Tuple[int, int] = (0, 0),
+    scaleup: bool = True,
+):
+    """Random affine/perspective warp of image + labels.
+
+    targets: (n, 6) rows [cls, prob, x1, y1, x2, y2] in pixels.
+    Returns (im, targets) with filtered surviving boxes.
+    """
+    if targets is None:
+        targets = np.zeros((0, 6), np.float32)
+    height = im.shape[0] + border[0] * 2
+    width = im.shape[1] + border[1] * 2
+
+    # Center
+    C = np.eye(3)
+    C[0, 2] = -im.shape[1] / 2
+    C[1, 2] = -im.shape[0] / 2
+    # Perspective
+    P = np.eye(3)
+    P[2, 0] = random.uniform(-perspective, perspective)
+    P[2, 1] = random.uniform(-perspective, perspective)
+    # Rotation and Scale
+    R = np.eye(3)
+    a = random.uniform(-degrees, degrees)
+    max_s = 1 + scale if scaleup else 1.0
+    s = random.uniform(1 - scale, max_s)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    # Shear
+    S = np.eye(3)
+    S[0, 1] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
+    # Translation
+    T = np.eye(3)
+    T[0, 2] = random.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = random.uniform(0.5 - translate, 0.5 + translate) * height
+
+    M = T @ S @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    n = len(targets)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = targets[:, [2, 3, 4, 5, 2, 5, 4, 3]].reshape(n * 4, 2)  # corners
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = box_candidates(box1=targets[:, 2:6].T * s, box2=new.T, area_thr=0.1)
+        targets = targets[keep]
+        targets[:, 2:6] = new[keep]
+    return im, targets
+
+
+def mixup(im: np.ndarray, labels: np.ndarray, im2: np.ndarray, labels2: np.ndarray):
+    """Blend two mosaics with a beta(32, 32) ratio (augmentations.py:189-194)."""
+    r = np.random.beta(32.0, 32.0)
+    im = (im * r + im2 * (1 - r)).astype(np.uint8)
+    labels = np.concatenate((labels, labels2), 0)
+    return im, labels
+
+
+def flip_lr(im: np.ndarray, boxes_xywhn: np.ndarray):
+    """boxes_xywhn: (n, 4) normalized [cx, cy, w, h]."""
+    im = np.fliplr(im)
+    if len(boxes_xywhn):
+        boxes_xywhn[:, 0] = 1 - boxes_xywhn[:, 0]
+    return np.ascontiguousarray(im), boxes_xywhn
+
+
+def flip_ud(im: np.ndarray, boxes_xywhn: np.ndarray):
+    """boxes_xywhn: (n, 4) normalized [cx, cy, w, h]."""
+    im = np.flipud(im)
+    if len(boxes_xywhn):
+        boxes_xywhn[:, 1] = 1 - boxes_xywhn[:, 1]
+    return np.ascontiguousarray(im), boxes_xywhn

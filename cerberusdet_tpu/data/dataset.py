@@ -1,0 +1,276 @@
+"""Per-task detection dataset: file lists, label cache, mosaic/mixup/affine
+augmentation, letterbox — emitting STATIC-SHAPE padded samples for the TPU.
+
+Behavioral parity target: cerberusdet/data/datasets.py:171-542
+(LoadImagesAndLabels). Differences by design (TPU-first):
+  * Samples are padded to `max_labels` with a validity mask in the collate —
+    ragged label lists never reach the device (static shapes; the loss
+    compiles once).
+  * Output layout is HWC RGB uint8 (NHWC on device), not CHW tensors.
+  * Rect (aspect-grouped) batching is supported for CPU-side eval but is OFF
+    by default: per-batch shapes would force XLA recompiles.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from cerberusdet_tpu.data.augment import (
+    augment_hsv,
+    flip_lr,
+    flip_ud,
+    mixup,
+    random_perspective,
+)
+from cerberusdet_tpu.data.labels import (
+    build_label_cache,
+    img2label_paths,
+    list_images,
+)
+from cerberusdet_tpu.ops.letterbox import letterbox_host
+
+DEFAULT_HYP = dict(
+    mosaic=0.0, mixup=0.0, degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
+    perspective=0.0, scaleup=1.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+    flipud=0.0, fliplr=0.0,
+)
+
+
+def xywhn2xyxy_np(x, w, h, padw=0.0, padh=0.0):
+    y = np.empty_like(x)
+    y[:, 0] = w * (x[:, 0] - x[:, 2] / 2) + padw
+    y[:, 1] = h * (x[:, 1] - x[:, 3] / 2) + padh
+    y[:, 2] = w * (x[:, 0] + x[:, 2] / 2) + padw
+    y[:, 3] = h * (x[:, 1] + x[:, 3] / 2) + padh
+    return y
+
+
+def xyxy2xywhn_np(x, w, h, clip=True, eps=1e-3):
+    if clip:
+        x[:, [0, 2]] = x[:, [0, 2]].clip(0, w - eps)
+        x[:, [1, 3]] = x[:, [1, 3]].clip(0, h - eps)
+    y = np.empty_like(x)
+    y[:, 0] = ((x[:, 0] + x[:, 2]) / 2) / w
+    y[:, 1] = ((x[:, 1] + x[:, 3]) / 2) / h
+    y[:, 2] = (x[:, 2] - x[:, 0]) / w
+    y[:, 3] = (x[:, 3] - x[:, 1]) / h
+    return y
+
+
+class DetectionDataset:
+    """One task's dataset. `__getitem__` returns
+    (img HWC-RGB uint8, labels (n, 6) [cls, prob, xywhn], meta dict)."""
+
+    def __init__(
+        self,
+        path,
+        imgsz: int = 640,
+        augment: bool = False,
+        hyp: Optional[Dict[str, Any]] = None,
+        rect: bool = False,
+        stride: int = 32,
+        pad: float = 0.0,
+        batch_size: int = 16,
+        use_xml: bool = False,
+        classnames: Optional[Sequence[str]] = None,
+        multi_label: bool = False,
+        soft_label: bool = False,
+        cache_images: bool = False,
+        task: str = "task",
+        cache_dir: Optional[str] = None,
+    ):
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = {**DEFAULT_HYP, **(hyp or {})}
+        self.rect = rect
+        self.stride = stride
+        self.pad = pad
+        self.task = task
+        self.mosaic_border = [-imgsz // 2, -imgsz // 2]
+
+        self.img_files = list_images(path)
+        if not self.img_files:
+            raise FileNotFoundError(f"no images found in {path}")
+        self.label_files = img2label_paths(self.img_files, ".xml" if use_xml else ".txt")
+        cache_path = (Path(cache_dir) if cache_dir else Path(self.label_files[0]).parent) / (
+            f"{task}.cache.npy"
+        )
+        cache = build_label_cache(
+            self.img_files, self.label_files, cache_path, use_xml, classnames,
+            multi_label, soft_label,
+        )
+        results = cache["results"]
+        self.img_files = [f for f in self.img_files if f in results]
+        self.labels = [results[f][0] for f in self.img_files]
+        self.shapes = np.array([results[f][1] for f in self.img_files], np.float64)  # (w, h)
+        self.stats = cache.get("stats", (0, len(self.img_files), 0, 0))
+        self.n = len(self.img_files)
+        self.indices = np.arange(self.n)
+
+        # rect batches: sort by aspect ratio, one letterbox shape per batch
+        self.batch_shapes = None
+        if self.rect:
+            ar = self.shapes[:, 1] / self.shapes[:, 0]  # h/w
+            order = ar.argsort()
+            self.img_files = [self.img_files[i] for i in order]
+            self.label_files = [self.label_files[i] for i in order]
+            self.labels = [self.labels[i] for i in order]
+            self.shapes = self.shapes[order]
+            ar = ar[order]
+            nb = int(np.ceil(self.n / batch_size))
+            self.batch_index = np.floor(np.arange(self.n) / batch_size).astype(int)
+            shapes = []
+            for i in range(nb):
+                ari = ar[self.batch_index == i]
+                mini, maxi = ari.min(), ari.max()
+                if maxi < 1:
+                    shapes.append([maxi, 1])
+                elif mini > 1:
+                    shapes.append([1, 1 / mini])
+                else:
+                    shapes.append([1, 1])
+            self.batch_shapes = (
+                np.ceil(np.array(shapes) * imgsz / stride + pad).astype(int) * stride
+            )
+
+        self._im_cache: Dict[int, Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]] = (
+            {} if cache_images else None
+        )
+
+    def __len__(self) -> int:
+        return self.n
+
+    # ------------------------------------------------------------- images
+    def load_image(self, i: int):
+        """Load + resize longest side to imgsz. Returns (im RGB, (h0, w0), (h, w))."""
+        if self._im_cache is not None and i in self._im_cache:
+            return self._im_cache[i]
+        im = cv2.imread(self.img_files[i])  # BGR
+        if im is None:
+            raise FileNotFoundError(self.img_files[i])
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+        h0, w0 = im.shape[:2]
+        r = self.imgsz / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
+            im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
+        out = (im, (h0, w0), im.shape[:2])
+        if self._im_cache is not None:
+            self._im_cache[i] = out
+        return out
+
+    # -------------------------------------------------------------- mosaic
+    def load_mosaic(self, index: int):
+        """4-image mosaic on a 2s x 2s canvas, then affine-crop to s x s
+        (datasets.py:483-542)."""
+        s = self.imgsz
+        yc, xc = (int(random.uniform(-x, 2 * s + x)) for x in self.mosaic_border)
+        indices = [index] + random.choices(range(self.n), k=3)
+        random.shuffle(indices)
+        labels4 = []
+        im4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
+        for i, idx in enumerate(indices):
+            im, _, (h, w) = self.load_image(idx)
+            if i == 0:  # top left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:  # top right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:  # bottom right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            im4[y1a:y2a, x1a:x2a] = im[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            lb = self.labels[idx].copy()
+            if len(lb):
+                lb[:, 2:6] = xywhn2xyxy_np(lb[:, 2:6], w, h, padw, padh)
+            labels4.append(lb)
+        labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 6), np.float32)
+        np.clip(labels4[:, 2:6], 0, 2 * s, out=labels4[:, 2:6])
+        im4, labels4 = random_perspective(
+            im4, labels4,
+            degrees=self.hyp["degrees"], translate=self.hyp["translate"],
+            scale=self.hyp["scale"], shear=self.hyp["shear"],
+            perspective=self.hyp["perspective"], border=self.mosaic_border,
+            scaleup=bool(self.hyp.get("scaleup", 1.0)),
+        )
+        return im4, labels4
+
+    # ------------------------------------------------------------ getitem
+    def __getitem__(self, index: int):
+        index = int(self.indices[index])
+        hyp = self.hyp
+        mosaic = self.augment and random.random() < hyp["mosaic"]
+        if mosaic:
+            img, labels = self.load_mosaic(index)
+            shapes = None
+            ori_shape = (self.imgsz, self.imgsz)
+            if random.random() < hyp["mixup"]:
+                img, labels = mixup(img, labels, *self.load_mosaic(random.randint(0, self.n - 1)))
+        else:
+            img, (h0, w0), (h, w) = self.load_image(index)
+            shape = (
+                tuple(self.batch_shapes[self.batch_index[index]])
+                if self.rect else (self.imgsz, self.imgsz)
+            )
+            img, ratio, pad = letterbox_host(img, shape, auto=False, scaleup=self.augment)
+            shapes = ((h0, w0), ((h / h0 * ratio[0], w / w0 * ratio[1]), pad))
+            ori_shape = (h0, w0)
+            labels = self.labels[index].copy()
+            if len(labels):
+                labels[:, 2:6] = xywhn2xyxy_np(
+                    labels[:, 2:6], ratio[0] * w, ratio[1] * h, pad[0], pad[1]
+                )
+            if self.augment:
+                img, labels = random_perspective(
+                    img, labels,
+                    degrees=hyp["degrees"], translate=hyp["translate"],
+                    scale=hyp["scale"], shear=hyp["shear"],
+                    perspective=hyp["perspective"],
+                    scaleup=bool(hyp.get("scaleup", 1.0)),
+                )
+
+        nl = len(labels)
+        if nl:
+            labels[:, 2:6] = xyxy2xywhn_np(
+                labels[:, 2:6], w=img.shape[1], h=img.shape[0], clip=True, eps=1e-3
+            )
+        if self.augment:
+            augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
+            if random.random() < hyp["flipud"]:
+                img, boxes = flip_ud(img, labels[:, 2:6])
+                labels[:, 2:6] = boxes
+            if random.random() < hyp["fliplr"]:
+                img, boxes = flip_lr(img, labels[:, 2:6])
+                labels[:, 2:6] = boxes
+
+        meta = {"path": self.img_files[index], "ori_shape": ori_shape, "shapes": shapes}
+        return np.ascontiguousarray(img), labels.astype(np.float32), meta
+
+    def class_histogram(self, nc: int) -> np.ndarray:
+        h = np.zeros(nc, np.int64)
+        for lb in self.labels:
+            if len(lb):
+                np.add.at(h, lb[:, 0].astype(int), 1)
+        return h
+
+
+def labels_to_class_weights(labels: List[np.ndarray], nc: int) -> np.ndarray:
+    """Inverse-frequency class weights (general.py:243-259)."""
+    counts = np.zeros(nc, np.float64)
+    for lb in labels:
+        if len(lb):
+            np.add.at(counts, lb[:, 0].astype(int), 1)
+    weights = 1.0 / np.maximum(counts, 1)
+    weights /= weights.sum()
+    return weights

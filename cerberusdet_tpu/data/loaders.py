@@ -1,0 +1,175 @@
+"""Batch assembly: padded static-shape collate + background-prefetch loader.
+
+Behavioral parity target: cerberusdet/data/dataloaders.py (create_dataloader
+:39-93, InfiniteDataLoader :96-112) and LoadImagesAndLabels.collate_fn
+(datasets.py:440-459). Differences by design (TPU-first):
+  * The collate pads labels to `max_labels` per image and emits a dense
+    {img, cls, prob, bboxes, mask} dict — static shapes end-to-end, no
+    (batch_idx, ragged rows) indirection.
+  * Prefetch is a small thread pipeline (this host feeds one accelerator
+    process; torch's worker-process pool is unnecessary machinery here).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from cerberusdet_tpu.data.dataset import DetectionDataset
+from cerberusdet_tpu.data.samplers import BalancedSampler, HostShardSampler, ShuffleSampler
+
+
+def collate(samples: List[tuple], max_labels: int = 300) -> Dict[str, Any]:
+    """[(img, labels (n,6), meta)] -> dense batch dict.
+
+    Returns {'img': (B,H,W,3) uint8, 'cls': (B,M) i32, 'prob': (B,M) f32,
+    'bboxes': (B,M,4) f32 xywhn, 'mask': (B,M) bool, 'meta': [meta...]}."""
+    b = len(samples)
+    imgs = np.stack([s[0] for s in samples])
+    cls = np.zeros((b, max_labels), np.int32)
+    prob = np.zeros((b, max_labels), np.float32)
+    boxes = np.zeros((b, max_labels, 4), np.float32)
+    mask = np.zeros((b, max_labels), bool)
+    for i, (_, lb, _) in enumerate(samples):
+        n = min(len(lb), max_labels)
+        if n:
+            cls[i, :n] = lb[:n, 0].astype(np.int32)
+            prob[i, :n] = lb[:n, 1]
+            boxes[i, :n] = lb[:n, 2:6]
+            mask[i, :n] = True
+    return {
+        "img": imgs, "cls": cls, "prob": prob, "bboxes": boxes, "mask": mask,
+        "meta": [s[2] for s in samples],
+    }
+
+
+class DataLoader:
+    """Sampler-driven batched loader with optional thread prefetch. Drops the
+    last partial batch when `drop_last` (static batch shapes for jit)."""
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int, sampler=None,
+                 max_labels: int = 300, drop_last: bool = True,
+                 prefetch: int = 2, num_threads: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler if sampler is not None else ShuffleSampler(len(dataset), False)
+        self.max_labels = max_labels
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.num_threads = max(num_threads, 1)
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[List[int]]:
+        batch: List[int] = []
+        for idx in self.sampler:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.prefetch <= 0:
+            for idxs in self._batches():
+                yield collate([self.dataset[i] for i in idxs], self.max_labels)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for idxs in self._batches():
+                    q.put(collate([self.dataset[i] for i in idxs], self.max_labels))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class InfiniteLoader:
+    """Cycles the underlying loader forever, bumping the sampler epoch
+    (replaces InfiniteDataLoader + the reference's iterator-cycling at
+    averaging.py:148-152)."""
+
+    def __init__(self, loader: DataLoader):
+        self.loader = loader
+        self.epoch = 0
+        self._it = None
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __next__(self):
+        if self._it is None:
+            self.loader.set_epoch(self.epoch)
+            self._it = iter(self.loader)
+        try:
+            return next(self._it)
+        except StopIteration:
+            self.epoch += 1
+            self.loader.set_epoch(self.epoch)
+            self._it = iter(self.loader)
+            return next(self._it)
+
+    def __iter__(self):
+        return self
+
+
+def create_dataloader(
+    path,
+    imgsz: int,
+    batch_size: int,
+    stride: int = 32,
+    hyp: Optional[dict] = None,
+    augment: bool = False,
+    rect: bool = False,
+    pad: float = 0.0,
+    balanced_sampler: bool = False,
+    class_choice: str = "least_sampled",
+    shuffle: bool = True,
+    use_xml: bool = False,
+    classnames=None,
+    multi_label: bool = False,
+    soft_label: bool = False,
+    max_labels: int = 300,
+    task: str = "task",
+    seed: int = 0,
+    host_sharded: bool = True,
+    cache_dir: Optional[str] = None,
+    cache_images: bool = False,
+):
+    """Build (dataset, loader) for one task (dataloaders.py:39-93 parity)."""
+    dataset = DetectionDataset(
+        path, imgsz=imgsz, augment=augment, hyp=hyp, rect=rect, stride=stride,
+        pad=pad, batch_size=batch_size, use_xml=use_xml, classnames=classnames,
+        multi_label=multi_label, soft_label=soft_label, task=task,
+        cache_dir=cache_dir, cache_images=cache_images,
+    )
+    if balanced_sampler and augment:
+        sampler = BalancedSampler(dataset.labels, class_choice, seed=seed)
+    else:
+        sampler = ShuffleSampler(len(dataset), shuffle=shuffle and augment, seed=seed)
+    import jax
+
+    if host_sharded and jax.process_count() > 1:
+        sampler = HostShardSampler(sampler)
+    loader = DataLoader(dataset, batch_size, sampler, max_labels=max_labels,
+                        drop_last=augment)
+    return dataset, loader
