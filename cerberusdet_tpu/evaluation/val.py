@@ -1,0 +1,170 @@
+"""Validation loop: per-task mAP evaluation + speed accounting.
+
+Behavioral parity target: cerberusdet/val.py:132-433 (run): per-task
+dataloaders, device forward + NMS (conf 0.001, iou 0.6, multi-label), boxes
+scaled back to native space, 10-IoU matching, DetMetrics, confusion matrix,
+fitness. Device work (forward + NMS) is jitted with static shapes; matching
+and AP accumulation stay on host in numpy for exactness.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerberusdet_tpu.evaluation.metrics import (
+    IOUV,
+    ConfusionMatrix,
+    DetMetrics,
+    fitness,
+    process_batch,
+)
+from cerberusdet_tpu.models.cerberus import CerberusModel
+from cerberusdet_tpu.nn.module import Ctx
+from cerberusdet_tpu.ops.nms import non_max_suppression
+
+
+def scale_boxes_np(img1_shape, boxes, img0_shape, ratio_pad=None):
+    """Numpy mirror of ops.boxes.scale_boxes (general.py:313-333)."""
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = ((img1_shape[1] - img0_shape[1] * gain) / 2,
+               (img1_shape[0] - img0_shape[0] * gain) / 2)
+    else:
+        gain = ratio_pad[0][0]
+        pad = ratio_pad[1]
+    boxes = boxes.copy()
+    boxes[:, [0, 2]] -= pad[0]
+    boxes[:, [1, 3]] -= pad[1]
+    boxes /= gain
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, img0_shape[1])
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, img0_shape[0])
+    return boxes
+
+
+def run_task(
+    model: CerberusModel,
+    params,
+    task: str,
+    loader,
+    nc: int,
+    names: Sequence[str] = (),
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+    compute_loss=None,
+    compute_dtype=jnp.float32,
+    verbose: bool = False,
+    plots: bool = False,
+) -> Dict[str, Any]:
+    """Evaluate one task. Returns dict with results tuple
+    (mp, mr, map50, map, box_l, cls_l, dfl_l), per-class maps, speed, fitness."""
+    metrics = DetMetrics(nc, names)
+    confusion = ConfusionMatrix(nc)
+    loss_accum = np.zeros(3)
+    n_batches = 0
+    seen = 0
+    dt = np.zeros(3)  # preprocess, inference, nms (seconds)
+
+    @jax.jit
+    def forward(params, img):
+        ctx = Ctx(train=False, dtype=compute_dtype)
+        pred, feats = model(params, img, ctx, tasks=[task])[task]
+        return pred, feats
+
+    for batch in loader:
+        t0 = time.perf_counter()
+        img = jnp.asarray(batch["img"]).astype(jnp.float32) / 255.0
+        t1 = time.perf_counter()
+        pred, feats = forward(params, img)
+        pred = jax.block_until_ready(pred)
+        t2 = time.perf_counter()
+        dets, counts = non_max_suppression(
+            pred, nc=nc, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=True, max_det=max_det,
+        )
+        dets = np.asarray(jax.block_until_ready(dets))
+        counts = np.asarray(counts)
+        t3 = time.perf_counter()
+        dt += (t1 - t0, t2 - t1, t3 - t2)
+
+        if compute_loss is not None:
+            _, items = compute_loss(feats, {k: jnp.asarray(v) for k, v in batch.items()
+                                            if k != "meta"})
+            loss_accum += np.array([float(items.box), float(items.cls), float(items.dfl)])
+            n_batches += 1
+
+        h, w = batch["img"].shape[1:3]
+        for si in range(len(batch["img"])):
+            seen += 1
+            meta = batch["meta"][si]
+            gt_mask = batch["mask"][si]
+            gt_cls = batch["cls"][si][gt_mask].astype(np.float32)
+            gt_xywhn = batch["bboxes"][si][gt_mask]
+            n_det = int(counts[si])
+            det = dets[si][:n_det].copy()
+
+            ori_shape = meta["ori_shape"]
+            ratio_pad = meta["shapes"][1] if meta.get("shapes") else None
+            # labels -> letterbox pixels -> native space
+            if len(gt_xywhn):
+                tbox = np.empty((len(gt_xywhn), 4), np.float32)
+                tbox[:, 0] = (gt_xywhn[:, 0] - gt_xywhn[:, 2] / 2) * w
+                tbox[:, 1] = (gt_xywhn[:, 1] - gt_xywhn[:, 3] / 2) * h
+                tbox[:, 2] = (gt_xywhn[:, 0] + gt_xywhn[:, 2] / 2) * w
+                tbox[:, 3] = (gt_xywhn[:, 1] + gt_xywhn[:, 3] / 2) * h
+                tbox = scale_boxes_np((h, w), tbox, ori_shape, ratio_pad)
+                labels_n = np.concatenate([gt_cls[:, None], tbox], 1)
+            else:
+                labels_n = np.zeros((0, 5), np.float32)
+            if n_det:
+                det[:, :4] = scale_boxes_np((h, w), det[:, :4], ori_shape, ratio_pad)
+
+            correct = process_batch(det, labels_n, IOUV)
+            metrics.update(correct, det[:, 4], det[:, 5], labels_n[:, 0])
+            if plots:
+                confusion.process_batch(det, labels_n)
+
+    metrics.process()
+    mp, mr, map50, mAP = metrics.mean_results()
+    losses = loss_accum / max(n_batches, 1)
+    results = (mp, mr, map50, mAP, *losses)
+    speed = tuple(x / seen * 1e3 for x in dt) if seen else (0.0, 0.0, 0.0)
+    out = {
+        "results": results,
+        "maps": metrics.maps,
+        "speed": speed,
+        "fitness": float(fitness(np.array(results).reshape(1, -1))[0]),
+        "metrics": metrics,
+        "confusion": confusion,
+        "seen": seen,
+    }
+    if verbose:
+        print(f"[{task}] images={seen} P={mp:.3f} R={mr:.3f} "
+              f"mAP50={map50:.3f} mAP={mAP:.3f} speed(ms/img)={speed}")
+    return out
+
+
+def run(
+    model: CerberusModel,
+    params,
+    loaders: Dict[str, Any],
+    nc_per_task: Dict[str, int],
+    names_per_task: Optional[Dict[str, Sequence[str]]] = None,
+    losses: Optional[Dict[str, Any]] = None,
+    **kw,
+) -> Dict[str, Dict[str, Any]]:
+    """Evaluate all tasks; returns {task: run_task-output}."""
+    out = {}
+    for task, loader in loaders.items():
+        out[task] = run_task(
+            model, params, task, loader, nc_per_task[task],
+            names=(names_per_task or {}).get(task, ()),
+            compute_loss=(losses or {}).get(task),
+            **kw,
+        )
+    return out
