@@ -211,7 +211,9 @@ class CerberusModel:
                 inp = [outputs[u] for u in step.in_uids]
             else:
                 inp = outputs[step.in_uids[0]]
-            outputs[step.uid] = node.layer(params[step.uid], inp, ctx, (step.uid,))
+            # .get: parameterless blocks (Upsample/Concat) may be absent from
+            # trees that round-tripped through a flattened checkpoint
+            outputs[step.uid] = node.layer(params.get(step.uid, {}), inp, ctx, (step.uid,))
         return results
 
     # ------------------------------------------------------- param utilities

@@ -1,0 +1,256 @@
+"""Epoch-loop training engine tying data, step, eval and checkpoints together.
+
+Behavioral parity target: cerberusdet/train.py:42-276 (train()),
+cerberusdet/trainers/base_trainer.py (val_epoch, warmup, per-task best
+tracking) and trainers/averaging.py:97-203 (per-task iteration, batch
+skipping, warmup window nw = max(warmup_epochs * nb, 1000)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cerberusdet_tpu.data.loaders import InfiniteLoader, create_dataloader
+from cerberusdet_tpu.evaluation.metrics import overall_fitness
+from cerberusdet_tpu.evaluation.val import run_task
+from cerberusdet_tpu.manager.run_manager import RunManager
+from cerberusdet_tpu.train.loss import DetectionLoss, scale_loss_gains
+from cerberusdet_tpu.train.optim import SGDConfig
+from cerberusdet_tpu.train.schedules import EarlyStopping, lr_lambda, warmup_lrs
+from cerberusdet_tpu.train.step import MultiTaskTrainer, TrainState, init_train_state
+from cerberusdet_tpu.utils.hyp import get_hyperparameter, task_hyp_view
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    """CLI-surface mirror of train.py:279-336 (TPU-relevant subset; DDP/AMP
+    flags are obsolete by design)."""
+
+    cfg: Union[str, dict] = "configs/models/yolov8x.yaml"
+    data: Union[str, dict] = ""
+    hyp: Union[str, dict] = "configs/hyps/hyp.cerber-default.yaml"
+    weights: str = ""                      # pretrained (.pt or .ckpt.npz)
+    epochs: int = 100
+    batch_size: Union[int, List[int]] = 16  # per task: int or list "4,4,40"
+    imgsz: int = 640
+    project: str = "runs/train"
+    name: str = "exp"
+    exist_ok: bool = False
+    optimizer: str = "SGD"
+    linear_lr: bool = False
+    noval: bool = False
+    nosave: bool = False
+    patience: int = 30
+    freeze_shared_till_epoch: int = 0
+    skip_batches: bool = False
+    balanced_sampler: bool = False
+    labels_from_xml: bool = False
+    use_multi_labels: bool = False
+    use_soft_labels: bool = False
+    cache_images: bool = False
+    max_labels: int = 300
+    seed: int = 0
+    compute_dtype: str = "float32"         # 'bfloat16' on TPU
+    loss_weights: Optional[Dict[str, float]] = None
+    resume: str = ""                       # path to last.ckpt.npz
+
+
+class TrainLoop:
+    def __init__(self, opt: TrainOptions, data_dict: Dict[str, Any],
+                 hyp: Dict[str, Any], use_mesh: bool = False):
+        self.opt = opt
+        self.hyp = hyp
+        self.manager = RunManager(
+            hyp, data_dict, opt.cfg, Path(opt.project) / opt.name,
+            exist_ok=opt.exist_ok, nosave=opt.nosave,
+        )
+        self.manager.dump_settings(dataclasses.asdict(opt))
+        self.task_ids = self.manager.task_ids
+        self.model, params, ckpt_meta = self.manager.load_model(
+            opt.weights or None, seed=opt.seed, verbose=False)
+        self.start_epoch = 0
+
+        # per-task batch sizes (train.py:286,370-373)
+        bs = opt.batch_size
+        self.batch_sizes = list(bs) if isinstance(bs, (list, tuple)) else [bs] * len(self.task_ids)
+
+        # data loaders per task
+        self.train_loaders, self.val_loaders, self.datasets = {}, {}, {}
+        gs = int(max(self.model.strides))
+        for ti, task in enumerate(self.task_ids):
+            thyp = task_hyp_view(hyp, ti, task)
+            ds, loader = create_dataloader(
+                data_dict["train"][ti], imgsz=opt.imgsz,
+                batch_size=self.batch_sizes[ti], stride=gs, hyp=thyp, augment=True,
+                balanced_sampler=opt.balanced_sampler, use_xml=opt.labels_from_xml,
+                classnames=data_dict["names"][ti],
+                multi_label=opt.use_multi_labels, soft_label=opt.use_soft_labels,
+                max_labels=opt.max_labels, task=task, seed=opt.seed,
+                cache_images=opt.cache_images,
+            )
+            self.datasets[task] = ds
+            self.train_loaders[task] = loader
+            _, vloader = create_dataloader(
+                data_dict["val"][ti], imgsz=opt.imgsz,
+                batch_size=self.batch_sizes[ti], stride=gs, augment=False,
+                shuffle=False, use_xml=opt.labels_from_xml,
+                classnames=data_dict["names"][ti],
+                max_labels=opt.max_labels, task=f"{task}_val",
+            )
+            self.val_loaders[task] = vloader
+
+        # losses with scaled gains (models_manager.fill_tasks_parameters)
+        nl = len(self.model.strides)
+        self.losses = {}
+        for ti, task in enumerate(self.task_ids):
+            box_w = get_hyperparameter(hyp, "box", ti, task)
+            cls_w = get_hyperparameter(hyp, "cls", ti, task)
+            dfl_w = get_hyperparameter(hyp, "dfl", ti, task)
+            box_w, cls_w = scale_loss_gains(box_w, cls_w, nl, opt.imgsz)
+            self.losses[task] = DetectionLoss(
+                nc=self.manager.nc[ti], strides=self.model.strides,
+                box_w=box_w, cls_w=cls_w, dfl_w=dfl_w,
+            )
+
+        cdtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+        wd = float(get_hyperparameter(hyp, "weight_decay"))
+        self.trainer = MultiTaskTrainer(
+            self.model, self.losses, task_weights=opt.loss_weights,
+            sgd=SGDConfig(weight_decay=wd), compute_dtype=cdtype,
+        )
+        self.state = init_train_state(params)
+
+        # schedule
+        self.lr0 = float(get_hyperparameter(hyp, "lr0"))
+        self.lf = lr_lambda(opt.epochs, float(get_hyperparameter(hyp, "lrf")),
+                            cos_lr=not opt.linear_lr)
+        self.nb = max(len(l) for l in self.train_loaders.values())
+        self.nw = max(round(float(get_hyperparameter(hyp, "warmup_epochs")) * self.nb), 1000)
+        self.iters_per_task = None
+        if opt.skip_batches:
+            lens = [len(self.train_loaders[t]) for t in self.task_ids]
+            self.iters_per_task = [max(self.nb // l, 1) for l in lens]
+        self.stopper = EarlyStopping(opt.patience)
+        self.mesh = None
+        if use_mesh:
+            from cerberusdet_tpu.parallel import make_mesh, replicate
+
+            self.mesh = make_mesh()
+            self.state = replicate(self.state, self.mesh)
+        # resume
+        if opt.resume:
+            self._resume(opt.resume)
+        elif ckpt_meta:
+            self.manager.best_fitness = ckpt_meta.get("best_fitness", 0.0)
+
+    # ------------------------------------------------------------------
+    def _resume(self, path: str):
+        from cerberusdet_tpu.manager.checkpoint import load_checkpoint
+        from cerberusdet_tpu.train.optim import SGDState
+
+        ckpt = load_checkpoint(path)
+        meta = ckpt["meta"]
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        self.state = init_train_state(params)
+        if ckpt.get("ema"):
+            self.state.ema_params = jax.tree_util.tree_map(jnp.asarray, ckpt["ema"])
+        if ckpt.get("opt"):
+            self.state.opt_state = SGDState(
+                momentum_buf=jax.tree_util.tree_map(jnp.asarray, ckpt["opt"]),
+                step=jnp.asarray(meta.get("n_updates", 0), jnp.int32),
+            )
+        self.state.n_updates = jnp.asarray(meta.get("n_updates", 0), jnp.int32)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.manager.best_fitness = meta.get("best_fitness", 0.0)
+        self.manager.best_fitness_per_task.update(meta.get("best_fitness_per_task", {}))
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, np.ndarray]:
+        opt = self.opt
+        freeze = epoch < opt.freeze_shared_till_epoch
+        iters = {t: InfiniteLoader(self.train_loaders[t]) for t in self.task_ids}
+        momentum_h = float(get_hyperparameter(self.hyp, "momentum"))
+        mloss = {t: np.zeros(3) for t in self.task_ids}
+        counts = {t: 0 for t in self.task_ids}
+        for i in range(self.nb):
+            ni = i + self.nb * epoch
+            lrs, mom = warmup_lrs(
+                ni, self.nw, epoch, self.lr0, self.lf(epoch),
+                warmup_bias_lr=float(get_hyperparameter(self.hyp, "warmup_bias_lr")),
+                warmup_momentum=float(get_hyperparameter(self.hyp, "warmup_momentum")),
+                momentum=momentum_h,
+            )
+            self._last_lrs = lrs
+            active = [
+                t for ti, t in enumerate(self.task_ids)
+                if self.iters_per_task is None or i % self.iters_per_task[ti] == 0
+            ]
+            if not active:
+                continue
+            batches = {}
+            for t in active:
+                b = next(iters[t])
+                b = {k: v for k, v in b.items() if k != "meta"}
+                if self.mesh is not None:
+                    from cerberusdet_tpu.parallel import shard_batch
+
+                    b = shard_batch(b, self.mesh)
+                batches[t] = b
+            self.state, items = self.trainer.step(self.state, batches, lrs, mom,
+                                                  freeze_shared=freeze)
+            for t in active:
+                it = items[t]
+                mloss[t] += np.array([float(it.box), float(it.cls), float(it.dfl)])
+                counts[t] += 1
+        return {t: mloss[t] / max(counts[t], 1) for t in self.task_ids}
+
+    # ------------------------------------------------------------------
+    def val_epoch(self, epoch: int) -> float:
+        """Per-task eval on EMA params; per-task best ckpts; returns mean
+        fitness (base_trainer.py:114-194)."""
+        results_per_task = {}
+        ema_params = self.state.ema_params
+        for ti, task in enumerate(self.task_ids):
+            out = run_task(
+                self.model, ema_params, task, self.val_loaders[task],
+                nc=self.manager.nc[ti], names=self.manager.names[ti],
+                compute_loss=self.losses[task],
+            )
+            results_per_task[task] = out["results"][:4]
+            self.manager.val_log(task, out["results"], epoch, out["fitness"])
+            if out["fitness"] > self.manager.best_fitness_per_task[task]:
+                self.manager.best_fitness_per_task[task] = out["fitness"]
+                self.manager.save_best_task_model(task, self.state, epoch)
+        return overall_fitness(results_per_task)
+
+    # ------------------------------------------------------------------
+    def train(self) -> float:
+        """Full loop; returns final best fitness."""
+        t0 = time.time()
+        fi = 0.0
+        for epoch in range(self.start_epoch, self.opt.epochs):
+            mloss = self.train_epoch(epoch)
+            for t in self.task_ids:
+                self.manager.train_log(t, getattr(self, "_last_lrs", [0, 0, 0]),
+                                       mloss[t], epoch)
+            if not self.opt.noval:
+                fi = self.val_epoch(epoch)
+            is_best = fi >= self.manager.best_fitness
+            if is_best:
+                self.manager.best_fitness = fi
+            self.manager.save_model(self.state, epoch, is_best)
+            if self.stopper(epoch, fi):
+                break
+        if self.opt.noval:  # evolve mode evaluates once at the end
+            fi = self.val_epoch(self.opt.epochs - 1)
+            self.manager.best_fitness = max(self.manager.best_fitness, fi)
+        dt = time.time() - t0
+        print(f"training done in {dt/3600:.2f}h, best fitness {self.manager.best_fitness:.4f}")
+        return self.manager.best_fitness

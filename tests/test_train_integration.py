@@ -1,0 +1,140 @@
+"""End-to-end integration: tiny 2-task training run, checkpoint cadence,
+resume round-trip, genetic evolution loop (SURVEY.md §4 integration plan)."""
+
+import json
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+import yaml
+
+from cerberusdet_tpu.evolve.loggers import FileLogger
+from cerberusdet_tpu.evolve.ray_evolver import reformat_config
+from cerberusdet_tpu.evolve.yolov5_evolver import Yolov5Evolver
+from cerberusdet_tpu.manager.run_manager import parse_data_config
+from cerberusdet_tpu.train.trainer import TrainLoop, TrainOptions
+
+
+def _make_task_data(root: Path, name: str, n_imgs: int, nc: int, seed: int):
+    rng = np.random.default_rng(seed)
+    for split in ("train", "val"):
+        img_dir = root / name / "images" / split
+        lb_dir = root / name / "labels" / split
+        img_dir.mkdir(parents=True)
+        lb_dir.mkdir(parents=True)
+        for i in range(n_imgs):
+            im = rng.integers(0, 255, (96, 96, 3), np.uint8)
+            cv2.imwrite(str(img_dir / f"{i}.jpg"), im)
+            c = int(rng.integers(0, nc))
+            (lb_dir / f"{i}.txt").write_text(f"{c} 0.5 0.5 0.4 0.4")
+
+
+@pytest.fixture(scope="module")
+def two_task_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    _make_task_data(root, "t1", 8, 2, seed=0)
+    _make_task_data(root, "t2", 6, 3, seed=1)
+    return {
+        "train": [str(root / "t1" / "images" / "train"), str(root / "t2" / "images" / "train")],
+        "val": [str(root / "t1" / "images" / "val"), str(root / "t2" / "images" / "val")],
+        "nc": [2, 3],
+        "names": [["a", "b"], ["x", "y", "z"]],
+        "task_ids": ["t1", "t2"],
+    }
+
+
+def _hyp(**over):
+    hyp = yaml.safe_load(open("configs/hyps/hyp.cerber-default.yaml"))
+    hyp.update(dict(mosaic=0.0, mixup=0.0, scale=0.0, translate=0.0, fliplr=0.0,
+                    warmup_epochs=0.1))
+    hyp.update(over)
+    return hyp
+
+
+def _opt(tmp_path, **over):
+    kw = dict(
+        cfg="configs/models/yolov8n_2task.yaml", epochs=2, batch_size=[4, 2],
+        imgsz=64, project=str(tmp_path / "runs"), name="exp", patience=10,
+        max_labels=8, seed=0,
+    )
+    kw.update(over)
+    return TrainOptions(**kw)
+
+
+def test_parse_data_config_single_task_promotion():
+    d = parse_data_config({"train": "/x", "val": "/y", "nc": 5, "names": list("abcde")})
+    assert d["nc"] == [5] and d["task_ids"] == ["detect"]
+    assert d["train"] == ["/x"]
+
+
+@pytest.mark.slow
+def test_end_to_end_train_and_resume(tmp_path, two_task_data):
+    loop = TrainLoop(_opt(tmp_path), two_task_data, _hyp())
+    fit = loop.train()
+    assert np.isfinite(fit) and 0 <= fit <= 1
+    run_dir = loop.manager.save_dir
+    assert (run_dir / "weights" / "last.ckpt.npz").exists()
+    assert (run_dir / "weights" / "best.ckpt.npz").exists()
+    assert (run_dir / "results.txt").read_text().count("task t1") == 2
+    assert (run_dir / "hyp.yaml").exists() and (run_dir / "opt.yaml").exists()
+    # per-task best only saved on a strictly-improved fitness (reference
+    # semantics); a random model on random data may stay at 0.0
+    if loop.manager.best_fitness_per_task["t1"] > 0:
+        assert (run_dir / "weights" / "t1_best.ckpt.npz").exists()
+
+    # resume continues from epoch 2 with state intact
+    loop2 = TrainLoop(
+        _opt(tmp_path, epochs=3, resume=str(run_dir / "weights" / "last.ckpt.npz")),
+        two_task_data, _hyp(),
+    )
+    assert loop2.start_epoch == 2
+    assert int(loop2.state.n_updates) > 0
+    fit2 = loop2.train()
+    assert np.isfinite(fit2)
+
+
+@pytest.mark.slow
+def test_freeze_and_skip_batches_options(tmp_path, two_task_data):
+    loop = TrainLoop(
+        _opt(tmp_path, epochs=1, freeze_shared_till_epoch=1, skip_batches=True,
+             noval=True, nosave=True),
+        two_task_data, _hyp(),
+    )
+    import jax
+
+    before = np.asarray(loop.state.params["b0"]["w"]).copy()
+    loop.train_epoch(0)
+    after = np.asarray(loop.state.params["b0"]["w"])
+    np.testing.assert_allclose(before, after)  # shared frozen in epoch 0
+    assert loop.iters_per_task is not None
+
+
+@pytest.mark.slow
+def test_evolution_loop(tmp_path, two_task_data):
+    opt = _opt(tmp_path, epochs=1, nosave=True)
+    evolver = Yolov5Evolver(opt, _hyp(), two_task_data, generations=2,
+                            params_to_evolve=["lr0", "momentum"], seed=0)
+    evolver.run_evolution()
+    muts = evolver.file_logger.read_mutations()
+    assert len(muts) == 2
+    assert (evolver.save_dir / "hyp_evolved.yaml").exists()
+    # only enabled params mutate between generations (after gen-1 mutation)
+    h0, h1 = muts[0]["hyps"], muts[1]["hyps"]
+    assert h0["box"] == h1["box"]
+
+
+def test_reformat_config():
+    cfg = {"lr0": 0.01, "box_t1": 5.0, "box_t2": 7.0}
+    out = reformat_config(cfg, ["t1", "t2"])
+    assert out["lr0"] == 0.01 and out["box"] == [5.0, 7.0]
+
+
+def test_file_logger_top5(tmp_path):
+    fl = FileLogger(tmp_path)
+    for i, m in enumerate([0.1, 0.5, 0.3]):
+        fl.append_mutation_to_file({"lr0": 0.01 * (i + 1)},
+                                   {"t": (0, 0, m, m)}, 1, i)
+    top = fl.read_top_5_mutations()
+    assert top[0]["hyps"]["lr0"] == pytest.approx(0.02)
+    assert not fl.is_last_mutation_best()

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Training CLI (reference parity: cerberusdet/train.py:279-414).
+
+Example:
+    python train.py --data configs/data/voc_obj365.yaml \
+        --cfg configs/models/yolov8x_2task.yaml \
+        --hyp configs/hyps/hyp.cerber-default.yaml \
+        --batch-size 32,32 --epochs 100 --name voc_obj365_v8x
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import yaml
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="", help="pretrained .pt or .ckpt.npz")
+    p.add_argument("--cfg", default="configs/models/yolov8x.yaml")
+    p.add_argument("--data", required=True)
+    p.add_argument("--hyp", default="configs/hyps/hyp.cerber-default.yaml")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=str, default="16",
+                   help="total batch size, int or per-task list '4,4,40'")
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--project", default="runs/train")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--optimizer", default="SGD", choices=["SGD", "Adam", "AdamW", "RMSProp"])
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--noval", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--freeze-shared-till-epoch", type=int, default=0)
+    p.add_argument("--skip-batches", action="store_true")
+    p.add_argument("--balanced-sampler", action="store_true")
+    p.add_argument("--labels-from-xml", action="store_true")
+    p.add_argument("--use-multi-labels", action="store_true")
+    p.add_argument("--use-soft-labels", action="store_true")
+    p.add_argument("--cache-images", action="store_true")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU)")
+    p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
+    p.add_argument("--resume", nargs="?", const="auto", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
+                   help="evolve hyperparameters for N generations")
+    p.add_argument("--params-to-evolve", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt_ns = parse_opt(argv)
+    from cerberusdet_tpu.manager.run_manager import parse_data_config
+    from cerberusdet_tpu.train.trainer import TrainLoop, TrainOptions
+
+    with open(opt_ns.hyp) as f:
+        hyp = yaml.safe_load(f)
+    data_dict = parse_data_config(opt_ns.data)
+
+    bs = [int(x) for x in str(opt_ns.batch_size).split(",")]
+    batch_size = bs[0] if len(bs) == 1 else bs
+
+    resume = opt_ns.resume
+    if resume == "auto":
+        runs = sorted(Path(opt_ns.project).glob("*/weights/last.ckpt.npz"))
+        if not runs:
+            sys.exit("--resume: no previous run found")
+        resume = str(runs[-1])
+
+    opt = TrainOptions(
+        cfg=opt_ns.cfg, data=opt_ns.data, hyp=opt_ns.hyp, weights=opt_ns.weights,
+        epochs=opt_ns.epochs, batch_size=batch_size, imgsz=opt_ns.imgsz,
+        project=opt_ns.project, name=opt_ns.name, exist_ok=opt_ns.exist_ok,
+        optimizer=opt_ns.optimizer, linear_lr=opt_ns.linear_lr,
+        noval=opt_ns.noval, nosave=opt_ns.nosave, patience=opt_ns.patience,
+        freeze_shared_till_epoch=opt_ns.freeze_shared_till_epoch,
+        skip_batches=opt_ns.skip_batches, balanced_sampler=opt_ns.balanced_sampler,
+        labels_from_xml=opt_ns.labels_from_xml,
+        use_multi_labels=opt_ns.use_multi_labels,
+        use_soft_labels=opt_ns.use_soft_labels, cache_images=opt_ns.cache_images,
+        seed=opt_ns.seed, resume=resume,
+        compute_dtype="bfloat16" if opt_ns.bf16 else "float32",
+    )
+
+    if opt_ns.evolve:
+        from cerberusdet_tpu.evolve.yolov5_evolver import Yolov5Evolver
+
+        evolver = Yolov5Evolver(
+            opt, hyp, data_dict, generations=opt_ns.evolve,
+            params_to_evolve=(opt_ns.params_to_evolve.split(",")
+                              if opt_ns.params_to_evolve else None),
+        )
+        evolver.run_evolution()
+        return
+
+    loop = TrainLoop(opt, data_dict, hyp, use_mesh=opt_ns.mesh)
+    loop.train()
+
+
+if __name__ == "__main__":
+    main()
