@@ -423,3 +423,358 @@ LAYERS = {
     "Upsample": Upsample,
     "Detect": Detect,
 }
+
+
+class Identity(Layer):
+    def init(self, rng) -> Params:
+        return {}
+
+    def __call__(self, p, x, ctx, path=()):
+        return x
+
+
+class BareConv(Layer):
+    """Conv2d without bias/BN/act (BottleneckCSP's cv2/cv3, MixConv2d members)."""
+
+    def __init__(self, c1, c2, k=1, s=1, p=None, g=1):
+        self.c1, self.c2, self.k, self.s, self.p, self.g = c1, c2, k, s, p, g
+
+    def init(self, rng) -> Params:
+        return {"w": init_conv_w(rng, self.k, self.c1, self.c2, self.g)}
+
+    def __call__(self, p, x, ctx, path=()):
+        return conv2d(x, p["w"], self.s, self.p, self.g, dtype=ctx.dtype).astype(ctx.dtype)
+
+
+class BN(Layer):
+    """Standalone BatchNorm + LeakyReLU(0.1) epilogue used by CSP blocks."""
+
+    def __init__(self, c, leaky: float = 0.1):
+        self.c2 = c
+        self.leaky = leaky
+
+    def init(self, rng) -> Params:
+        return {"bn": init_bn(self.c2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        y = batch_norm(p["bn"], x.astype(jnp.float32), ctx, path + ("bn",))
+        y = jax.nn.leaky_relu(y, self.leaky)
+        return y.astype(ctx.dtype)
+
+
+class BottleneckCSP(Layer):
+    """CSP bottleneck (common.py:120-136): cv1->m->cv3 || cv2, BN+LeakyReLU
+    on the concat, cv4."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, 1, 1)
+        self.cv2 = BareConv(c1, c_, 1, 1)
+        self.cv3 = BareConv(c_, c_, 1, 1)
+        self.cv4 = Conv(2 * c_, c2, 1, 1)
+        self.bn = BN(2 * c_)
+        self.m = Seq(*[Bottleneck(c_, c_, shortcut, g, e=1.0) for _ in range(n)])
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r = split_rng(rng, 6)
+        return {"cv1": self.cv1.init(r[0]), "cv2": self.cv2.init(r[1]),
+                "cv3": self.cv3.init(r[2]), "cv4": self.cv4.init(r[3]),
+                "bn": self.bn.init(r[4]), "m": self.m.init(r[5])}
+
+    def __call__(self, p, x, ctx, path=()):
+        y1 = self.cv3(p["cv3"], self.m(p["m"], self.cv1(p["cv1"], x, ctx, path + ("cv1",)),
+                                       ctx, path + ("m",)), ctx, path + ("cv3",))
+        y2 = self.cv2(p["cv2"], x, ctx, path + ("cv2",))
+        y = self.bn(p["bn"], jnp.concatenate([y1, y2], axis=-1), ctx, path + ("bn",))
+        return self.cv4(p["cv4"], y, ctx, path + ("cv4",))
+
+
+class Linear(Layer):
+    def __init__(self, c1, c2, bias: bool = True):
+        self.c1, self.c2, self.bias = c1, c2, bias
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        p = {"w": kaiming_uniform(r1, (self.c1, self.c2), self.c1)}
+        if self.bias:
+            bound = 1.0 / math.sqrt(self.c1)
+            p["b"] = jax.random.uniform(r2, (self.c2,), jnp.float32, -bound, bound)
+        return p
+
+    def __call__(self, p, x, ctx, path=()):
+        y = jnp.dot(x.astype(ctx.dtype), p["w"].astype(ctx.dtype),
+                    preferred_element_type=jnp.float32)
+        if "b" in p:
+            y = y + p["b"]
+        return y.astype(ctx.dtype)
+
+
+class MultiheadAttention(Layer):
+    """torch.nn.MultiheadAttention-parity self/cross attention on (B, N, C)."""
+
+    def __init__(self, c, num_heads):
+        assert c % num_heads == 0
+        self.c2 = c
+        self.h = num_heads
+
+    def init(self, rng) -> Params:
+        r1, r2, r3 = split_rng(rng, 3)
+        c = self.c2
+        return {
+            "in_w": kaiming_uniform(r1, (3 * c, c), c),
+            "in_b": jnp.zeros((3 * c,)),
+            "out_w": kaiming_uniform(r2, (c, c), c),
+            "out_b": jnp.zeros((c,)),
+        }
+
+    def __call__(self, p, qkv, ctx, path=()):
+        q, k, v = qkv
+        c, h = self.c2, self.h
+        d = c // h
+
+        def proj(x, w, b):
+            return jnp.dot(x.astype(ctx.dtype), w.T.astype(ctx.dtype),
+                           preferred_element_type=jnp.float32) + b
+
+        q = proj(q, p["in_w"][:c], p["in_b"][:c])
+        k = proj(k, p["in_w"][c:2 * c], p["in_b"][c:2 * c])
+        v = proj(v, p["in_w"][2 * c:], p["in_b"][2 * c:])
+        B, N, _ = q.shape
+
+        def heads(x):
+            return x.reshape(B, N, h, d).transpose(0, 2, 1, 3)  # (B, h, N, d)
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhnd,bhmd->bhnm", qh, kh) / math.sqrt(d)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, c)
+        out = jnp.dot(out, p["out_w"].T, preferred_element_type=jnp.float32) + p["out_b"]
+        return out.astype(ctx.dtype)
+
+
+class TransformerLayer(Layer):
+    """LayerNorm-free transformer layer (common.py:71-86), on (B, N, C)."""
+
+    def __init__(self, c, num_heads):
+        self.c2 = c
+        self.q = Linear(c, c, bias=False)
+        self.k = Linear(c, c, bias=False)
+        self.v = Linear(c, c, bias=False)
+        self.ma = MultiheadAttention(c, num_heads)
+        self.fc1 = Linear(c, c, bias=False)
+        self.fc2 = Linear(c, c, bias=False)
+
+    def init(self, rng) -> Params:
+        r = split_rng(rng, 6)
+        return {"q": self.q.init(r[0]), "k": self.k.init(r[1]), "v": self.v.init(r[2]),
+                "ma": self.ma.init(r[3]), "fc1": self.fc1.init(r[4]),
+                "fc2": self.fc2.init(r[5])}
+
+    def __call__(self, p, x, ctx, path=()):
+        qkv = (self.q(p["q"], x, ctx, path + ("q",)),
+               self.k(p["k"], x, ctx, path + ("k",)),
+               self.v(p["v"], x, ctx, path + ("v",)))
+        x = self.ma(p["ma"], qkv, ctx, path + ("ma",)) + x
+        y = self.fc2(p["fc2"], self.fc1(p["fc1"], x, ctx, path + ("fc1",)), ctx,
+                     path + ("fc2",))
+        return y + x
+
+
+class TransformerBlock(Layer):
+    """ViT-style block over flattened spatial positions (common.py:89-104)."""
+
+    def __init__(self, c1, c2, num_heads, num_layers):
+        self.conv = Conv(c1, c2) if c1 != c2 else None
+        self.linear = Linear(c2, c2)  # learnable position embedding
+        self.tr = [TransformerLayer(c2, num_heads) for _ in range(num_layers)]
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r = split_rng(rng, 2 + len(self.tr))
+        p: Params = {"linear": self.linear.init(r[0])}
+        if self.conv is not None:
+            p["conv"] = self.conv.init(r[1])
+        p["tr"] = {str(i): t.init(k) for i, (t, k) in enumerate(zip(self.tr, r[2:]))}
+        return p
+
+    def __call__(self, p, x, ctx, path=()):
+        if self.conv is not None:
+            x = self.conv(p["conv"], x, ctx, path + ("conv",))
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        seq = seq + self.linear(p["linear"], seq, ctx, path + ("linear",))
+        for i, t in enumerate(self.tr):
+            seq = t(p["tr"][str(i)], seq, ctx, path + ("tr", str(i)))
+        return seq.reshape(b, h, w, c)
+
+
+class C3TR(C3):
+    """C3 with a TransformerBlock inner (common.py:200-205)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = TransformerBlock(c_, c_, 4, n)
+
+
+class C3SPP(C3):
+    """C3 with an SPP inner (common.py:208-213)."""
+
+    def __init__(self, c1, c2, k=(5, 9, 13), n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = SPP(c_, c_, k)
+
+
+class CrossConv(Layer):
+    """Cross-convolution downsample (experimental.py:15-27): (1,k) then (k,1)."""
+
+    def __init__(self, c1, c2, k=3, s=1, g=1, e=1.0, shortcut=False):
+        c_ = int(c2 * e)
+        self.cv1 = Conv(c1, c_, (1, k), (1, s))
+        self.cv2 = Conv(c_, c2, (k, 1), (s, 1), g=g)
+        self.add = shortcut and c1 == c2
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        return {"cv1": self.cv1.init(r1), "cv2": self.cv2.init(r2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        y = self.cv2(p["cv2"], self.cv1(p["cv1"], x, ctx, path + ("cv1",)), ctx,
+                     path + ("cv2",))
+        return x + y if self.add else y
+
+
+class GhostBottleneck(Layer):
+    """Ghost bottleneck (experimental.py:42-57)."""
+
+    def __init__(self, c1, c2, k=3, s=1):
+        c_ = c2 // 2
+        self.conv = Seq(
+            GhostConv(c1, c_, 1, 1),
+            DWConv(c_, c_, k, s, act=False) if s == 2 else Identity(),
+            GhostConv(c_, c2, 1, 1, act=False),
+        )
+        self.shortcut = (
+            Seq(DWConv(c1, c1, k, s, act=False), Conv(c1, c2, 1, 1, act=False))
+            if s == 2 else Identity()
+        )
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r1, r2 = split_rng(rng, 2)
+        return {"conv": self.conv.init(r1), "shortcut": self.shortcut.init(r2)}
+
+    def __call__(self, p, x, ctx, path=()):
+        return (self.conv(p["conv"], x, ctx, path + ("conv",))
+                + self.shortcut(p["shortcut"], x, ctx, path + ("shortcut",)))
+
+
+class MixConv2d(Layer):
+    """Mixed depthwise conv, equal-channel split (experimental.py:60-81)."""
+
+    def __init__(self, c1, c2, k=(1, 3), s=1, equal_ch=True):
+        import numpy as _np
+
+        groups = len(k)
+        if equal_ch:
+            i = _np.floor(_np.linspace(0, groups - 1e-6, c2))
+            c_ = [int((i == g).sum()) for g in range(groups)]
+        else:
+            raise NotImplementedError("equal-weight split not supported")
+        self.m = [BareConv(c1, c_[g], k[g], s, k[g] // 2) for g in range(groups)]
+        self.bn = BN(c2)
+        self.c2 = c2
+
+    def init(self, rng) -> Params:
+        r = split_rng(rng, len(self.m) + 1)
+        return {"m": {str(i): m.init(k) for i, (m, k) in enumerate(zip(self.m, r))},
+                "bn": self.bn.init(r[-1])}
+
+    def __call__(self, p, x, ctx, path=()):
+        ys = [m(p["m"][str(i)], x, ctx, path + ("m", str(i))) for i, m in enumerate(self.m)]
+        return x + self.bn(p["bn"], jnp.concatenate(ys, axis=-1), ctx, path + ("bn",))
+
+
+class Contract(Layer):
+    """Space-to-channels: (B, H, W, C) -> (B, H/s, W/s, C*s*s) matching the
+    reference's NCHW permutation order (common.py:260-270)."""
+
+    def __init__(self, gain: int = 2):
+        self.gain = gain
+        self.c2 = 0
+
+    def init(self, rng) -> Params:
+        return {}
+
+    def __call__(self, p, x, ctx, path=()):
+        b, h, w, c = x.shape
+        s = self.gain
+        x = x.reshape(b, h // s, s, w // s, s, c)
+        x = x.transpose(0, 2, 4, 5, 1, 3)  # (B, s, s, C, H/s, W/s) — NCHW parity
+        return x.reshape(b, s * s * c, h // s, w // s).transpose(0, 2, 3, 1)
+
+
+class Expand(Layer):
+    """Channels-to-space inverse of Contract (common.py:273-285)."""
+
+    def __init__(self, gain: int = 2):
+        self.gain = gain
+        self.c2 = 0
+
+    def init(self, rng) -> Params:
+        return {}
+
+    def __call__(self, p, x, ctx, path=()):
+        b, h, w, c = x.shape
+        s = self.gain
+        x = x.transpose(0, 3, 1, 2)  # NCHW for parity with the reference view
+        x = x.reshape(b, s, s, c // s**2, h, w)
+        x = x.transpose(0, 3, 4, 1, 5, 2)
+        x = x.reshape(b, c // s**2, h * s, w * s)
+        return x.transpose(0, 2, 3, 1)
+
+
+class ImplicitA(Layer):
+    """Additive implicit knowledge (yoloR, common.py:17-28)."""
+
+    def __init__(self, channel):
+        self.c2 = channel
+
+    def init(self, rng) -> Params:
+        return {"implicit": 0.02 * jax.random.normal(rng, (1, 1, 1, self.c2))}
+
+    def __call__(self, p, x, ctx, path=()):
+        return x + p["implicit"].astype(x.dtype)
+
+
+class ImplicitM(Layer):
+    """Multiplicative implicit knowledge (yoloR, common.py:31-39)."""
+
+    def __init__(self, channel):
+        self.c2 = channel
+
+    def init(self, rng) -> Params:
+        return {"implicit": 1.0 + 0.02 * jax.random.normal(rng, (1, 1, 1, self.c2))}
+
+    def __call__(self, p, x, ctx, path=()):
+        return x * p["implicit"].astype(x.dtype)
+
+
+LAYERS.update({
+    "BottleneckCSP": BottleneckCSP,
+    "C3TR": C3TR,
+    "C3SPP": C3SPP,
+    "CrossConv": CrossConv,
+    "GhostBottleneck": GhostBottleneck,
+    "MixConv2d": MixConv2d,
+    "Contract": Contract,
+    "Expand": Expand,
+    "TransformerLayer": TransformerLayer,
+    "TransformerBlock": TransformerBlock,
+    "ImplicitA": ImplicitA,
+    "ImplicitM": ImplicitM,
+})

@@ -90,11 +90,16 @@ def apply_bn_updates(params: Params, updates: Dict[Path, jnp.ndarray],
     return merge_updates(params, folded)
 
 
-def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
-    """'same'-ish padding used throughout YOLO configs."""
+def autopad(k, p=None, d: int = 1):
+    """'same'-ish padding used throughout YOLO configs. Accepts int or
+    (kh, kw) kernels (common.py:42-48)."""
+    if p is not None:
+        return p
+    if isinstance(k, (tuple, list)):
+        return tuple(autopad(x, None, d) for x in k)
     if d > 1:
         k = d * (k - 1) + 1
-    return k // 2 if p is None else p
+    return k // 2
 
 
 def kaiming_uniform(rng, shape, fan_in: int, dtype=jnp.float32, a: float = math.sqrt(5)):
@@ -103,10 +108,12 @@ def kaiming_uniform(rng, shape, fan_in: int, dtype=jnp.float32, a: float = math.
     return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
 
 
-def init_conv_w(rng, k: int, c_in: int, c_out: int, groups: int = 1, dtype=jnp.float32):
-    """HWIO conv kernel with torch-default kaiming-uniform fan-in init."""
-    fan_in = (c_in // groups) * k * k
-    return kaiming_uniform(rng, (k, k, c_in // groups, c_out), fan_in, dtype)
+def init_conv_w(rng, k, c_in: int, c_out: int, groups: int = 1, dtype=jnp.float32):
+    """HWIO conv kernel with torch-default kaiming-uniform fan-in init.
+    k may be an int or (kh, kw)."""
+    kh, kw = (k, k) if isinstance(k, int) else k
+    fan_in = (c_in // groups) * kh * kw
+    return kaiming_uniform(rng, (kh, kw, c_in // groups, c_out), fan_in, dtype)
 
 
 def init_bn(c: int, dtype=jnp.float32) -> Params:
@@ -118,16 +125,19 @@ def init_bn(c: int, dtype=jnp.float32) -> Params:
     }
 
 
-def conv2d(x, w, stride: int = 1, padding: Optional[int] = None, groups: int = 1,
+def conv2d(x, w, stride=1, padding=None, groups: int = 1,
            dilation: int = 1, dtype=jnp.float32):
-    """NHWC conv with fp32 MXU accumulation; inputs cast to compute dtype."""
-    k = w.shape[0]
-    p = autopad(k, padding, dilation)
+    """NHWC conv with fp32 MXU accumulation; inputs cast to compute dtype.
+    stride/padding may be ints or (h, w) pairs; kernel size read from w."""
+    kh, kw = w.shape[0], w.shape[1]
+    p = autopad((kh, kw), padding, dilation)
+    ph, pw = (p, p) if isinstance(p, int) else p
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
     y = jax.lax.conv_general_dilated(
         x.astype(dtype),
         w.astype(dtype),
-        window_strides=(stride, stride),
-        padding=[(p, p), (p, p)],
+        window_strides=(sh, sw),
+        padding=[(ph, ph), (pw, pw)],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,

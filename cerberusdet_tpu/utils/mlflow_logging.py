@@ -1,0 +1,91 @@
+"""MLflow experiment tracking (optional dependency, gated).
+
+Behavioral parity target: cerberusdet/utils/mlflow_logging.py:14-225
+(init_mlflow, MLFlowLogger: run naming/dedup, params/metrics/artifacts,
+model checksum, models:/ URI download). mlflow is not installed in this
+image: every entry point degrades to a no-op logger (training proceeds with
+TensorBoard + results.txt), and `attempt_mlflow_download` raises a clear
+error for models:/ URIs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+try:
+    import mlflow  # type: ignore
+
+    MLFLOW_AVAILABLE = True
+except ImportError:
+    mlflow = None
+    MLFLOW_AVAILABLE = False
+
+
+def init_mlflow(tracking_uri: str) -> bool:
+    """Configure the tracking server (mlflow_logging.py:14-23)."""
+    if not MLFLOW_AVAILABLE:
+        return False
+    mlflow.set_tracking_uri(tracking_uri)
+    return True
+
+
+def file_md5(path) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+class MLFlowLogger:
+    """Params/metrics/artifact logging; silently no-ops without mlflow."""
+
+    def __init__(self, experiment_name: str, run_name: str,
+                 tracking_uri: Optional[str] = None):
+        self.active = MLFLOW_AVAILABLE
+        if not self.active:
+            return
+        if tracking_uri:
+            init_mlflow(tracking_uri)
+        mlflow.set_experiment(experiment_name)
+        existing = mlflow.search_runs(
+            filter_string=f"tags.mlflow.runName = '{run_name}'", output_format="list")
+        if existing:
+            mlflow.start_run(run_id=existing[0].info.run_id)
+        else:
+            mlflow.start_run(run_name=run_name)
+
+    def log_params(self, params: Dict[str, Any]):
+        if self.active:
+            mlflow.log_params({k: str(v)[:250] for k, v in params.items()})
+
+    def log_metrics(self, metrics: Dict[str, float], step: int = 0):
+        if self.active:
+            mlflow.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def log_artifact(self, path, artifact_path: Optional[str] = None):
+        if self.active and Path(path).exists():
+            mlflow.log_artifact(str(path), artifact_path)
+
+    def log_model_checksum(self, path):
+        if self.active and Path(path).exists():
+            mlflow.log_param("model_md5", file_md5(path))
+
+    def finish(self):
+        if self.active:
+            mlflow.end_run()
+
+
+def attempt_mlflow_download(uri: str, dst_dir: str = ".") -> str:
+    """Resolve a 'models:/name/version' URI to a local file
+    (mlflow_logging.py:161-225)."""
+    if not uri.startswith("models:/"):
+        return uri
+    if not MLFLOW_AVAILABLE:
+        raise RuntimeError(
+            f"cannot resolve {uri!r}: mlflow is not installed in this environment")
+    local = mlflow.artifacts.download_artifacts(artifact_uri=uri, dst_path=dst_dir)
+    return local

@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+
+def test_check_img_size():
+    from cerberusdet_tpu.utils.checks import check_img_size
+
+    assert check_img_size(640, 32) == 640
+    assert check_img_size(630, 32) == 640
+    assert check_img_size([630, 640], 32) == [640, 640]
+
+
+def test_check_version():
+    from cerberusdet_tpu.utils.checks import check_version
+
+    assert check_version("2.1.0", "2.0.0")
+    assert not check_version("1.9", "2.0.0")
+    with pytest.raises(AssertionError):
+        check_version("1.0", "2.0", hard=True)
+
+
+def test_check_dataset_missing(tmp_path):
+    from cerberusdet_tpu.utils.checks import check_dataset
+
+    with pytest.raises(FileNotFoundError):
+        check_dataset({"train": [str(tmp_path / "nope")], "val": []})
+    (tmp_path / "ok").mkdir()
+    check_dataset({"train": [str(tmp_path / "ok")], "val": []})
+
+
+def test_mlflow_gated_noop():
+    from cerberusdet_tpu.utils.mlflow_logging import MLFLOW_AVAILABLE, MLFlowLogger
+
+    lg = MLFlowLogger("exp", "run")
+    lg.log_params({"a": 1})
+    lg.log_metrics({"m": 0.5})
+    lg.finish()
+    if not MLFLOW_AVAILABLE:
+        assert not lg.active
+
+
+def test_voc_convert_annotation(tmp_path):
+    from cerberusdet_tpu.tools.get_voc import convert_annotation
+
+    xml = """<annotation><size><width>200</width><height>100</height></size>
+      <object><name>dog</name><difficult>0</difficult>
+        <bndbox><xmin>50</xmin><xmax>150</xmax><ymin>25</ymin><ymax>75</ymax></bndbox>
+      </object>
+      <object><name>notaclass</name>
+        <bndbox><xmin>0</xmin><xmax>10</xmax><ymin>0</ymin><ymax>10</ymax></bndbox>
+      </object>
+    </annotation>"""
+    src = tmp_path / "a.xml"
+    src.write_text(xml)
+    out = tmp_path / "labels" / "a.txt"
+    n = convert_annotation(src, out)
+    assert n == 1
+    row = out.read_text().split()
+    assert row[0] == "11"  # dog
+    np.testing.assert_allclose([float(v) for v in row[1:]],
+                               [99 / 200, 49 / 100, 0.5, 0.5], atol=1e-5)
+
+
+def test_obj365_convert_subset(tmp_path):
+    from cerberusdet_tpu.tools.get_objects365_part import convert_subset
+
+    coco = {
+        "categories": [{"id": 7, "name": "Zebra"}, {"id": 9, "name": "Car"}],
+        "images": [{"id": 1, "file_name": "x/img1.jpg", "width": 100, "height": 50}],
+        "annotations": [
+            {"image_id": 1, "category_id": 7, "bbox": [10, 10, 20, 20], "iscrowd": 0},
+            {"image_id": 1, "category_id": 9, "bbox": [0, 0, 5, 5], "iscrowd": 0},
+        ],
+    }
+    ann = tmp_path / "ann.json"
+    import json
+
+    ann.write_text(json.dumps(coco))
+    n = convert_subset(ann, tmp_path / "out", ["Monkey", "Zebra"], "train")
+    assert n == 1
+    txt = (tmp_path / "out" / "labels" / "train" / "img1.txt").read_text().split()
+    assert txt[0] == "1"  # Zebra local id
+
+
+def test_plots_smoke(tmp_path):
+    from cerberusdet_tpu.utils.plots import (
+        plot_confusion_matrix,
+        plot_images,
+        plot_labels,
+        plot_lr_scheduler,
+        plot_mc_curve,
+        plot_pr_curve,
+    )
+
+    batch = {
+        "img": np.random.randint(0, 255, (4, 64, 64, 3), np.uint8),
+        "bboxes": np.full((4, 5, 4), 0.4, np.float32),
+        "cls": np.zeros((4, 5), np.int32),
+        "mask": np.ones((4, 5), bool),
+    }
+    plot_images(batch, tmp_path / "batch.png", names=["a"])
+    assert (tmp_path / "batch.png").exists()
+    labels = [np.array([[0, 1, 0.5, 0.5, 0.2, 0.2]]), np.array([[1, 1, 0.3, 0.3, 0.1, 0.1]])]
+    plot_labels(labels, ["a", "b"], tmp_path)
+    assert (tmp_path / "labels.png").exists()
+    px = np.linspace(0, 1, 1000)
+    plot_pr_curve(px, np.random.rand(2, 1000), np.random.rand(2, 10),
+                  tmp_path / "pr.png", ["a", "b"])
+    plot_mc_curve(px, np.random.rand(2, 1000), tmp_path / "f1.png", ["a", "b"])
+    plot_lr_scheduler(lambda e: 1 - e / 10, 0.01, 10, tmp_path)
+    plot_confusion_matrix(np.random.rand(3, 3), ["a", "b"], tmp_path / "cm.png")
+    for f in ("pr.png", "f1.png", "LR.png", "cm.png"):
+        assert (tmp_path / f).exists()
+
+
+def test_profile_ctx():
+    import time
+
+    from cerberusdet_tpu.utils.profiling import Profile
+
+    p = Profile()
+    with p:
+        time.sleep(0.01)
+    assert p.t >= 0.01
+
+
+def test_model_info_flops():
+    import jax
+
+    from cerberusdet_tpu.models.cerberus import CerberusModel
+    from cerberusdet_tpu.utils.profiling import model_info
+
+    model = CerberusModel("configs/models/yolov8n.yaml", ["a"], [2])
+    params = model.init(jax.random.PRNGKey(0))
+    info = model_info(model, params, imgsz=64)
+    assert info["params_m"] > 1
+    if info["gflops"] is not None:
+        assert info["gflops"] > 0.01

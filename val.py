@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI (reference parity: cerberusdet/val.py:436-495),
+including the `--task speed` benchmark mode."""
+
+import argparse
+import json
+import time
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", required=True, help="framework .ckpt.npz (or .pt to import)")
+    p.add_argument("--data", required=True)
+    p.add_argument("--cfg", default="", help="model yaml (needed for .pt weights)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--project", default="runs/val")
+    p.add_argument("--name", default="exp")
+    return p.parse_args(argv)
+
+
+def load_model_for_eval(weights: str, cfg: str, data_dict):
+    import jax
+
+    from cerberusdet_tpu.models.cerberus import CerberusModel
+
+    if weights.endswith(".pt"):
+        if not cfg:
+            raise SystemExit("--cfg required with .pt weights")
+        from cerberusdet_tpu.manager.pt_import import import_pt
+
+        model = CerberusModel(cfg, data_dict["task_ids"], data_dict["nc"])
+        params = model.init(jax.random.PRNGKey(0))
+        params = import_pt(model, params, weights, verbose=True)
+    else:
+        from cerberusdet_tpu.manager.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(weights)
+        meta = ckpt["meta"]
+        model = CerberusModel(cfg or meta["cfg"], meta["task_ids"], meta["nc"])
+        params = ckpt["ema"] if ckpt.get("ema") else ckpt["params"]
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    return model, params
+
+
+def speed_benchmark(model, params, imgsz: int, batch: int, bf16: bool):
+    """All-task forward timing (val.py:219,297-308 semantics) with a
+    data-dependency chain for honest async timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from cerberusdet_tpu.nn.module import Ctx
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    @jax.jit
+    def fwd(params, img):
+        out = model(params, img, Ctx(train=False, dtype=dtype))
+        return {t: pred for t, (pred, _f) in out.items()}
+
+    img = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+    jax.block_until_ready(fwd(params, img))
+    x = img
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+        x = img + next(iter(out.values()))[0, 0, 0] * 0.0
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms_per_image": dt / batch * 1e3, "images_per_sec": batch / dt}
+
+
+def main(argv=None):
+    opt = parse_opt(argv)
+    from cerberusdet_tpu.data.loaders import create_dataloader
+    from cerberusdet_tpu.evaluation.val import run_task
+    from cerberusdet_tpu.manager.run_manager import parse_data_config
+
+    data_dict = parse_data_config(opt.data)
+    model, params = load_model_for_eval(opt.weights, opt.cfg, data_dict)
+
+    if opt.task == "speed":
+        out = speed_benchmark(model, params, opt.imgsz, opt.batch_size, opt.bf16)
+        print(json.dumps(out))
+        return out
+
+    results = {}
+    for ti, task in enumerate(data_dict["task_ids"]):
+        split = "val" if opt.task == "val" else "test"
+        path = data_dict.get(split, data_dict["val"])[ti]
+        _, loader = create_dataloader(
+            path, imgsz=opt.imgsz, batch_size=opt.batch_size, augment=False,
+            shuffle=False, classnames=data_dict["names"][ti], task=f"{task}_val",
+        )
+        out = run_task(
+            model, params, task, loader, nc=data_dict["nc"][ti],
+            names=data_dict["names"][ti], conf_thres=opt.conf_thres,
+            iou_thres=opt.iou_thres, max_det=opt.max_det, verbose=True,
+        )
+        results[task] = out
+        mp, mr, map50, mAP = out["results"][:4]
+        print(f"{task}: P={mp:.4f} R={mr:.4f} mAP50={map50:.4f} mAP={mAP:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()
