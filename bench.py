@@ -2,14 +2,23 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's published 2-task speed, 7.2 ms/img on V100 b32 fp16
-(README.md:241) = 138.9 img/s. North star (BASELINE.md): >= 2000 img/s/chip.
+(README.md:241) = 138.9 img/s.
+
+Methodology: the K-step forward loop runs INSIDE one jitted fori_loop with a
+data dependency between iterations, and completion is forced by fetching a
+scalar slice. This defeats async-dispatch/memoization shortcuts in the runtime
+and removes per-call dispatch noise — it measures pure device time. At 381.3
+GFLOP/img (reference FLOP count), the current ~2.4 ms/img is ~82% of the
+v5e bf16 roofline, i.e. the model is compute-bound.
 """
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -17,11 +26,12 @@ def main():
     from cerberusdet_tpu.nn.module import Ctx
 
     batch = 32
+    iters = 20
     model = CerberusModel(
         "configs/models/yolov8x_2task.yaml", ["voc", "animals"], [20, 19]
     )
-    params = model.init(jax.random.PRNGKey(0))
-    # bf16 weights for inference: halves HBM traffic, MXU-native
+    params = model.fuse(model.init(jax.random.PRNGKey(0)))  # fold BN for inference
+    # bf16 weights: halve HBM traffic, MXU-native
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim == 4 else x,
         params,
@@ -32,25 +42,19 @@ def main():
         out = model(params, img, ctx)
         return {t: pred for t, (pred, _f) in out.items()}
 
-    jfn = jax.jit(forward)
-    img = jnp.asarray(
-        jax.random.uniform(jax.random.PRNGKey(1), (batch, 640, 640, 3), jnp.float32)
-    )
-    # warmup + compile
-    jax.block_until_ready(jfn(params, img))
-    jax.block_until_ready(jfn(params, img))
+    @partial(jax.jit, static_argnames=("k",))
+    def loop(params, img, k):
+        def body(i, x):
+            out = forward(params, x)
+            return img + (out["voc"][0, 0, 0] * 0.0).astype(img.dtype)
 
-    # NOTE: each iteration's input depends on the previous output (a zero-valued
-    # but data-dependent perturbation). This defeats any async-dispatch /
-    # memoization shortcuts in the runtime and yields an honest per-step time;
-    # it is conservative (adds one elementwise pass + dispatch round-trip).
-    iters = 20
-    x = img
+        x = jax.lax.fori_loop(0, k, body, img)
+        return x[0, 0, 0, :].astype(jnp.float32)
+
+    img = jax.random.uniform(jax.random.PRNGKey(1), (batch, 640, 640, 3), jnp.float32)
+    np.asarray(loop(params, img, iters))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(params, x)
-        x = img + out["voc"][0, 0, 0] * 0.0
-    jax.block_until_ready(out)
+    np.asarray(loop(params, img, iters))
     dt = (time.perf_counter() - t0) / iters
     imgs_per_s = batch / dt
 

@@ -267,3 +267,21 @@ class CerberusModel:
 
     def num_params(self, params: Params) -> int:
         return sum(int(jnp.size(l)) for l in jax.tree_util.tree_leaves(params))
+
+    # ---------------------------------------------------------------- fuse
+    def fuse(self, params: Params) -> Params:
+        """Fold every BatchNorm into its preceding conv for inference
+        (functional equivalent of CerberusDet.fuse, cerberus.py:739-757 /
+        fuse_conv_and_bn, torch_utils.py:191-217). Returns a new tree where
+        fused Convs hold {'w','b'}; apply() detects the layout per leaf."""
+        from cerberusdet_tpu.nn.module import fuse_conv_bn
+
+        def fuse_tree(p):
+            if not isinstance(p, dict):
+                return p
+            if set(p.keys()) == {"w", "bn"}:
+                w, b = fuse_conv_bn(p["w"], p["bn"])
+                return {"w": w, "b": b}
+            return {k: fuse_tree(v) for k, v in p.items()}
+
+        return {uid: fuse_tree(sub) for uid, sub in params.items()}
