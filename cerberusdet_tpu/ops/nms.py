@@ -79,7 +79,8 @@ def _select_candidates(pred, nc: int, conf_thres: float, multi_label: bool,
 
 
 @partial(jax.jit, static_argnames=("nc", "conf_thres", "iou_thres", "classes",
-                                   "agnostic", "multi_label", "max_det", "max_nms"))
+                                   "agnostic", "multi_label", "max_det", "max_nms",
+                                   "use_pallas"))
 def non_max_suppression(
     prediction,
     nc: int,
@@ -90,25 +91,50 @@ def non_max_suppression(
     multi_label: bool = False,
     max_det: int = 300,
     max_nms: int = 30000,
+    use_pallas: Optional[bool] = None,
 ):
     """Batched NMS. prediction: (B, N, 4+nc) with xywh pixel boxes + sigmoid
     class scores (the Detect eval output).
+
+    On TPU the greedy loop runs as a Pallas kernel that keeps candidates in
+    VMEM (ops/nms_pallas.py); its candidate cap is 16384, so `max_nms` is
+    clamped there on that path (scores are top-k sorted — candidates beyond
+    the top 16k are in practice never selected with max_det=300).
 
     Returns:
       dets: (B, max_det, 6) rows [x1, y1, x2, y2, conf, cls]; padding conf 0.
       counts: (B,) number of valid detections per image.
     """
-    def single(pred):
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from cerberusdet_tpu.ops.nms_pallas import MAX_K
+
+        max_nms = min(max_nms, MAX_K)
+
+    def select(pred):
         boxes, conf, cls = _select_candidates(pred, nc, conf_thres, multi_label, classes, max_nms)
         offset = jnp.zeros_like(cls) if agnostic else cls * MAX_WH
-        idx, valid = greedy_nms(boxes + offset[:, None], conf, iou_thres, max_det)
-        det = jnp.concatenate(
-            [boxes[idx], conf[idx][:, None], cls[idx][:, None]], axis=1
-        )
-        det = jnp.where(valid[:, None], det, 0.0)
-        return det, jnp.sum(valid.astype(jnp.int32))
+        return boxes, conf, cls, boxes + offset[:, None]
 
-    return jax.vmap(single)(prediction)
+    boxes, conf, cls, offset_boxes = jax.vmap(select)(prediction)
+    if use_pallas:
+        from cerberusdet_tpu.ops.nms_pallas import greedy_nms_pallas
+
+        idx, valid = greedy_nms_pallas(offset_boxes, conf, iou_thres, max_det)
+    else:
+        idx, valid = jax.vmap(lambda b, c: greedy_nms(b, c, iou_thres, max_det))(
+            offset_boxes, conf)
+    det = jnp.concatenate(
+        [
+            jnp.take_along_axis(boxes, idx[..., None], axis=1),
+            jnp.take_along_axis(conf, idx, axis=1)[..., None],
+            jnp.take_along_axis(cls, idx, axis=1)[..., None],
+        ],
+        axis=-1,
+    )
+    det = jnp.where(valid[..., None], det, 0.0)
+    return det, jnp.sum(valid.astype(jnp.int32), axis=1)
 
 
 @partial(jax.jit, static_argnames=("iou_thres",))

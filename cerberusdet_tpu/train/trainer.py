@@ -56,6 +56,7 @@ class TrainOptions:
     use_soft_labels: bool = False
     cache_images: bool = False
     max_labels: int = 300
+    plots: bool = True
     seed: int = 0
     compute_dtype: str = "float32"         # 'bfloat16' on TPU
     loss_weights: Optional[Dict[str, float]] = None
@@ -179,6 +180,12 @@ class TrainLoop:
         momentum_h = float(get_hyperparameter(self.hyp, "momentum"))
         mloss = {t: np.zeros(3) for t in self.task_ids}
         counts = {t: 0 for t in self.task_ids}
+        if epoch == self.start_epoch and opt.plots and not opt.nosave:
+            from cerberusdet_tpu.utils.plots import plot_labels
+
+            for ti, t in enumerate(self.task_ids):
+                plot_labels(self.datasets[t].labels,
+                            self.manager.names[ti], self.manager.save_dir)
         for i in range(self.nb):
             ni = i + self.nb * epoch
             lrs, mom = warmup_lrs(
@@ -197,6 +204,12 @@ class TrainLoop:
             batches = {}
             for t in active:
                 b = next(iters[t])
+                if (epoch == self.start_epoch and i < 3 and opt.plots
+                        and not opt.nosave):
+                    from cerberusdet_tpu.utils.plots import plot_images
+
+                    plot_images(b, self.manager.save_dir / f"train_batch_{t}_{i}.png",
+                                names=self.manager.names[self.task_ids.index(t)])
                 b = {k: v for k, v in b.items() if k != "meta"}
                 if self.mesh is not None:
                     from cerberusdet_tpu.parallel import shard_batch
@@ -212,7 +225,7 @@ class TrainLoop:
         return {t: mloss[t] / max(counts[t], 1) for t in self.task_ids}
 
     # ------------------------------------------------------------------
-    def val_epoch(self, epoch: int) -> float:
+    def val_epoch(self, epoch: int, plots: bool = False) -> float:
         """Per-task eval on EMA params; per-task best ckpts; returns mean
         fitness (base_trainer.py:114-194)."""
         results_per_task = {}
@@ -221,14 +234,30 @@ class TrainLoop:
             out = run_task(
                 self.model, ema_params, task, self.val_loaders[task],
                 nc=self.manager.nc[ti], names=self.manager.names[ti],
-                compute_loss=self.losses[task],
+                compute_loss=self.losses[task], plots=plots,
             )
             results_per_task[task] = out["results"][:4]
             self.manager.val_log(task, out["results"], epoch, out["fitness"])
             if out["fitness"] > self.manager.best_fitness_per_task[task]:
                 self.manager.best_fitness_per_task[task] = out["fitness"]
                 self.manager.save_best_task_model(task, self.state, epoch)
+            if plots and not self.opt.nosave:
+                self._save_val_plots(task, ti, out)
         return overall_fitness(results_per_task)
+
+    def _save_val_plots(self, task: str, ti: int, out: dict):
+        """PR curve + confusion matrix artifacts (val.py plots parity)."""
+        from cerberusdet_tpu.utils.plots import plot_confusion_matrix, plot_pr_curve
+
+        m = out["metrics"]
+        if getattr(m, "_results", None):
+            _, _, p, r, f1, ap, classes, p_curve, r_curve, px = m._results
+            # precision at each recall point per class -> reuse p/r curves
+            plot_pr_curve(px, p_curve, ap,
+                          self.manager.save_dir / f"{task}_PR_curve.png",
+                          list(self.manager.names[ti]))
+        plot_confusion_matrix(out["confusion"].matrix, self.manager.names[ti],
+                              self.manager.save_dir / f"{task}_confusion_matrix.png")
 
     # ------------------------------------------------------------------
     def train(self) -> float:
@@ -241,7 +270,8 @@ class TrainLoop:
                 self.manager.train_log(t, getattr(self, "_last_lrs", [0, 0, 0]),
                                        mloss[t], epoch)
             if not self.opt.noval:
-                fi = self.val_epoch(epoch)
+                final = epoch == self.opt.epochs - 1
+                fi = self.val_epoch(epoch, plots=final and self.opt.plots)
             is_best = fi >= self.manager.best_fitness
             if is_best:
                 self.manager.best_fitness = fi
