@@ -68,12 +68,12 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def init_train_state(params) -> TrainState:
+def init_train_state(params, sgd: SGDConfig = SGDConfig()) -> TrainState:
     # Real copies throughout: the step donates its input state, so the state
     # must not alias caller-held arrays (or params/ema each other).
     params = jax.tree_util.tree_map(jnp.copy, params)
     ema = jax.tree_util.tree_map(jnp.copy, params)
-    return TrainState(params, sgd_init(params), ema, jnp.zeros((), jnp.int32))
+    return TrainState(params, sgd_init(params, sgd), ema, jnp.zeros((), jnp.int32))
 
 
 class MultiTaskTrainer:

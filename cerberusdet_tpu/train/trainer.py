@@ -122,11 +122,12 @@ class TrainLoop:
 
         cdtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
         wd = float(get_hyperparameter(hyp, "weight_decay"))
+        sgd_cfg = SGDConfig(weight_decay=wd, name=opt.optimizer)
         self.trainer = MultiTaskTrainer(
             self.model, self.losses, task_weights=opt.loss_weights,
-            sgd=SGDConfig(weight_decay=wd), compute_dtype=cdtype,
+            sgd=sgd_cfg, compute_dtype=cdtype,
         )
-        self.state = init_train_state(params)
+        self.state = init_train_state(params, sgd_cfg)
 
         # schedule
         self.lr0 = float(get_hyperparameter(hyp, "lr0"))
@@ -159,7 +160,7 @@ class TrainLoop:
         ckpt = load_checkpoint(path)
         meta = ckpt["meta"]
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
-        self.state = init_train_state(params)
+        self.state = init_train_state(params, self.trainer.sgd)
         if ckpt.get("ema"):
             self.state.ema_params = jax.tree_util.tree_map(jnp.asarray, ckpt["ema"])
         if ckpt.get("opt"):
