@@ -1,0 +1,95 @@
+"""CLI-surface smoke tests: train.py / val.py / detect.py argument paths run
+end-to-end on a tiny synthetic dataset (reference CLI parity)."""
+
+import sys
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root for CLIs
+
+
+@pytest.fixture(scope="module")
+def cli_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        img_dir = root / "images" / split
+        lb_dir = root / "labels" / split
+        img_dir.mkdir(parents=True)
+        lb_dir.mkdir(parents=True)
+        for i in range(4):
+            cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                        rng.integers(0, 255, (96, 96, 3), np.uint8))
+            (lb_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4")
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "train": [str(root / "images" / "train")],
+        "val": [str(root / "images" / "val")],
+        "nc": [2], "names": [["a", "b"]], "task_ids": ["t1"],
+    }))
+    return root, str(data_yaml)
+
+
+@pytest.fixture(scope="module")
+def trained_run(cli_data, tmp_path_factory):
+    root, data_yaml = cli_data
+    project = str(tmp_path_factory.mktemp("runs"))
+    import train as train_cli
+
+    train_cli.main([
+        "--data", data_yaml, "--cfg", "configs/models/yolov8n.yaml",
+        "--epochs", "1", "--batch-size", "2", "--imgsz", "64",
+        "--project", project, "--name", "exp", "--patience", "5",
+    ])
+    ckpt = Path(project) / "exp" / "weights" / "last.ckpt.npz"
+    assert ckpt.exists()
+    return str(ckpt)
+
+
+@pytest.mark.slow
+def test_val_cli(trained_run, cli_data):
+    _, data_yaml = cli_data
+    import val as val_cli
+
+    results = val_cli.main(["--weights", trained_run, "--data", data_yaml,
+                            "--imgsz", "64", "--batch-size", "2"])
+    assert "t1" in results
+    assert np.isfinite(results["t1"]["results"][3])
+
+
+@pytest.mark.slow
+def test_val_cli_speed_mode(trained_run, cli_data):
+    _, data_yaml = cli_data
+    import val as val_cli
+
+    out = val_cli.main(["--weights", trained_run, "--data", data_yaml,
+                        "--imgsz", "64", "--batch-size", "2", "--task", "speed"])
+    assert out["images_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_detect_cli(trained_run, cli_data, tmp_path):
+    root, _ = cli_data
+    import detect as detect_cli
+
+    out_dir = detect_cli.main([
+        "--weights", trained_run, "--source", str(root / "images" / "val"),
+        "--imgsz", "64", "--conf-thres", "0.01", "--save-crop",
+        "--project", str(tmp_path / "det"), "--name", "exp",
+    ])
+    outs = list(Path(out_dir).glob("*.jpg"))
+    assert len(outs) == 4
+
+
+@pytest.mark.slow
+def test_strip_weights_cli(trained_run):
+    from cerberusdet_tpu.manager.checkpoint import load_checkpoint
+    from cerberusdet_tpu.tools import strip_weights
+
+    strip_weights.main(["--weights", trained_run])
+    ckpt = load_checkpoint(trained_run)
+    assert ckpt["opt"] is None and ckpt["meta"].get("stripped")
