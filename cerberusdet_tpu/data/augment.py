@@ -17,6 +17,31 @@ import cv2
 import numpy as np
 
 
+class PixelAugment:
+    """Low-probability pixel-level augmentation: blur / median-blur / grayscale.
+
+    Behavioral parity target: cerberusdet/data/augmentations.py:11-40 — the
+    reference wraps albumentations (Blur p=.01, MedianBlur p=.01, ToGray p=.01);
+    albumentations is not in this image, so the same transforms are applied
+    with cv2 directly.
+    """
+
+    def __init__(self, p_blur: float = 0.01, p_median: float = 0.01,
+                 p_gray: float = 0.01):
+        self.p_blur, self.p_median, self.p_gray = p_blur, p_median, p_gray
+
+    def __call__(self, im: np.ndarray) -> np.ndarray:
+        if random.random() < self.p_blur:
+            k = random.choice((3, 5, 7))
+            im = cv2.blur(im, (k, k))
+        if random.random() < self.p_median:
+            im = cv2.medianBlur(im, random.choice((3, 5, 7)))
+        if random.random() < self.p_gray:
+            gray = cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
+            im = cv2.cvtColor(gray, cv2.COLOR_GRAY2RGB)
+        return im
+
+
 def augment_hsv(im: np.ndarray, hgain: float = 0.5, sgain: float = 0.5, vgain: float = 0.5):
     """In-place HSV jitter via LUTs (RGB in, RGB out)."""
     if hgain or sgain or vgain:

@@ -22,6 +22,7 @@ import cv2
 import numpy as np
 
 from cerberusdet_tpu.data.augment import (
+    PixelAugment,
     augment_hsv,
     flip_lr,
     flip_ud,
@@ -142,6 +143,7 @@ class DetectionDataset:
         self._im_cache: Dict[int, Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]] = (
             {} if cache_images else None
         )
+        self._pixel_aug = PixelAugment()
 
     def __len__(self) -> int:
         return self.n
@@ -246,6 +248,7 @@ class DetectionDataset:
                 labels[:, 2:6], w=img.shape[1], h=img.shape[0], clip=True, eps=1e-3
             )
         if self.augment:
+            img = self._pixel_aug(img)
             augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
             if random.random() < hyp["flipud"]:
                 img, boxes = flip_ud(img, labels[:, 2:6])

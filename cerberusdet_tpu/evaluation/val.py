@@ -146,6 +146,13 @@ def run_task(
     if verbose:
         print(f"[{task}] images={seen} P={mp:.3f} R={mr:.3f} "
               f"mAP50={map50:.3f} mAP={mAP:.3f} speed(ms/img)={speed}")
+        # per-class table (val.py:96-105 parity)
+        nt = metrics.nt_per_class()
+        for i, c in enumerate(metrics.ap_class_index):
+            name = names[c] if c < len(names) else str(c)
+            p_c, r_c, ap50_c, ap_c = metrics.class_result(i)
+            print(f"  {name:>20s} {int(nt[c]):6d}  P={p_c:.3f} R={r_c:.3f} "
+                  f"mAP50={ap50_c:.3f} mAP={ap_c:.3f}")
     return out
 
 

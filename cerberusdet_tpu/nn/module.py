@@ -133,6 +133,10 @@ def conv2d(x, w, stride=1, padding=None, groups: int = 1,
     p = autopad((kh, kw), padding, dilation)
     ph, pw = (p, p) if isinstance(p, int) else p
     sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    # bf16 convs return bf16 (MXU accumulates f32 internally); requesting an
+    # f32 output via preferred_element_type would break the conv's VJP under
+    # mixed precision (f32 cotangent vs bf16 operands). BN upcasts to f32.
+    pet = jnp.float32 if dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x.astype(dtype),
         w.astype(dtype),
@@ -141,9 +145,9 @@ def conv2d(x, w, stride=1, padding=None, groups: int = 1,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
-    return y  # fp32 out; caller applies BN/act then downcasts
+    return y
 
 
 def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM,
