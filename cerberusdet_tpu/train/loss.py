@@ -119,7 +119,11 @@ class DetectionLoss:
         dfl_l = loss_dfl * self.weights["dfl"]
         total = box + cls + dfl_l
         items = LossItems(*[jax.lax.stop_gradient(v) for v in (box, cls, dfl_l, total)])
-        return total * b, items
+        # The reference's returned optimization loss is 2*(box+cls+dfl)*B:
+        # loss.py:177-181 sums a 4-vector whose last element is already the
+        # sum of the first three. Kept for exact gradient-scale parity (the
+        # published hyps were tuned against it); `items` stay un-doubled.
+        return 2.0 * total * b, items
 
 
 def optax_sigmoid_bce(logits, labels):
