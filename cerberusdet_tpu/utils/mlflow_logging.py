@@ -48,35 +48,47 @@ class MLFlowLogger:
         self.active = MLFLOW_AVAILABLE
         if not self.active:
             return
-        if tracking_uri:
-            init_mlflow(tracking_uri)
-        mlflow.set_experiment(experiment_name)
-        existing = mlflow.search_runs(
-            filter_string=f"tags.mlflow.runName = '{run_name}'", output_format="list")
-        if existing:
-            mlflow.start_run(run_id=existing[0].info.run_id)
-        else:
-            mlflow.start_run(run_name=run_name)
+        try:
+            if tracking_uri:
+                init_mlflow(tracking_uri)
+            mlflow.set_experiment(experiment_name)
+            existing = mlflow.search_runs(
+                filter_string=f"tags.mlflow.runName = '{run_name}'",
+                output_format="list")
+            if existing:
+                mlflow.start_run(run_id=existing[0].info.run_id)
+            else:
+                mlflow.start_run(run_name=run_name)
+        except Exception as e:  # broken/partial mlflow: degrade to no-op
+            print(f"WARNING: mlflow unavailable ({e}); logging disabled")
+            self.active = False
+
+    def _safe(self, thunk):
+        if not self.active:
+            return
+        try:
+            thunk()
+        except Exception as e:
+            print(f"WARNING: mlflow call failed ({e})")
 
     def log_params(self, params: Dict[str, Any]):
-        if self.active:
-            mlflow.log_params({k: str(v)[:250] for k, v in params.items()})
+        self._safe(lambda: mlflow.log_params(
+            {k: str(v)[:250] for k, v in params.items()}))
 
     def log_metrics(self, metrics: Dict[str, float], step: int = 0):
-        if self.active:
-            mlflow.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+        self._safe(lambda: mlflow.log_metrics(
+            {k: float(v) for k, v in metrics.items()}, step=step))
 
     def log_artifact(self, path, artifact_path: Optional[str] = None):
-        if self.active and Path(path).exists():
-            mlflow.log_artifact(str(path), artifact_path)
+        if Path(path).exists():
+            self._safe(lambda: mlflow.log_artifact(str(path), artifact_path))
 
     def log_model_checksum(self, path):
-        if self.active and Path(path).exists():
-            mlflow.log_param("model_md5", file_md5(path))
+        if Path(path).exists():
+            self._safe(lambda: mlflow.log_param("model_md5", file_md5(path)))
 
     def finish(self):
-        if self.active:
-            mlflow.end_run()
+        self._safe(lambda: mlflow.end_run())
 
 
 def attempt_mlflow_download(uri: str, dst_dir: str = ".") -> str:
