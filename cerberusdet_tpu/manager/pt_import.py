@@ -107,18 +107,72 @@ def _map_block(my_params: Dict[str, Any], prefix: str,
     return n
 
 
+def simulate_ref_split_chains(cerber, n_neck: int, n_tasks: int):
+    """Reproduce the reference's block-index assignment after
+    sequential_split (cerberus.py:704-737 / create_nested_branch:461-633).
+
+    Ground-truth rule (verified by running the reference): at each split
+    [k, groups], the FIRST group keeps its current blocks; every subsequent
+    group receives clones of layers k+1..n_neck appended at the END of the
+    block list, in original layer order. Heads sit at n_neck+1..n_neck+T
+    before any clones.
+
+    Returns {task_idx: [ref_block_index for cerber layer 1..n_neck]}.
+    """
+    from cerberusdet_tpu.models.cerberus import _head_id_to_task
+
+    chains = {t: list(range(1, n_neck + 1)) for t in range(n_tasks)}
+    next_id = n_neck + n_tasks + 1
+    for k, groups in (cerber or []):
+        for gi, g in enumerate(groups):
+            if gi == 0:
+                continue  # first group keeps its existing blocks
+            new_ids = {}
+            for c in range(int(k) + 1, n_neck + 1):
+                new_ids[c] = next_id
+                next_id += 1
+            for head in g:
+                t = _head_id_to_task(head, n_neck, n_tasks)
+                for c in range(int(k) + 1, n_neck + 1):
+                    chains[t][c - 1] = new_ids[c]
+    return chains
+
+
 def import_state_dict(model: CerberusModel, params: Dict[str, Any],
                       sd: Dict[str, np.ndarray],
                       verbose: bool = False) -> Dict[str, Any]:
     """Fill `params` (an initialized tree from model.init) with weights from a
-    torch state dict. Handles 'model.N.*' (yolo) and 'blocks.N.*'/'heads.*'
-    (unsplit cerber) key layouts; branched clones share the source block."""
+    torch state dict. Handles 'model.N.*' (yolo), unsplit cerber
+    ('blocks.N.*' with heads as trailing blocks) AND split cerber layouts
+    (clone blocks appended after the heads — the released checkpoints'
+    format; the model's cerber schedule must match the checkpoint's)."""
     # normalize key prefixes: strip a leading 'model.' wrapper ('model.model.N')
     if any(k.startswith("model.model.") for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
     is_yolo = any(k.startswith("model.") for k in sd)
     is_cerber = any(k.startswith("blocks.") for k in sd)
     n_backbone = model.n_backbone
+    n_neck = len(model.parsed.nodes) - n_backbone
+    n_tasks = len(model.task_ids)
+
+    # split checkpoint: any param block index beyond the heads' slots
+    chains = None
+    if is_cerber:
+        max_idx = max((int(k.split(".")[1]) for k in sd if k.startswith("blocks.")),
+                      default=0)
+        if max_idx > n_neck + n_tasks:
+            if not model.parsed.cerber:
+                raise ValueError(
+                    "checkpoint is a SPLIT CerberusDet model but the model "
+                    "config has no cerber schedule — build the model from the "
+                    "matching config")
+            chains = simulate_ref_split_chains(model.parsed.cerber, n_neck, n_tasks)
+
+    # reverse lookup: uid -> a task index using it (for per-branch sourcing)
+    uid_task = {}
+    for (ti, j), uid in model._task_node_uid.items():
+        uid_task.setdefault(uid, ti)
+
     out = dict(params)
     total = 0
     for uid, node_idx in model.block_nodes.items():
@@ -128,7 +182,9 @@ def import_state_dict(model: CerberusModel, params: Dict[str, Any],
             if node_idx < n_backbone:
                 prefix = f"blocks.0.model.{node_idx}"
             else:
-                prefix = f"blocks.{node_idx - n_backbone + 1}"
+                c = node_idx - n_backbone + 1
+                ref_idx = chains[uid_task[uid]][c - 1] if chains else c
+                prefix = f"blocks.{ref_idx}"
         else:
             raise ValueError("unrecognized state dict layout")
         child = dict(out[uid])
