@@ -35,3 +35,41 @@ class CerberusPreprocessor:
             out.append(lb[..., ::-1])  # BGR -> RGB
         batch = np.ascontiguousarray(np.stack(out)).astype(np.float32) / 255.0
         return batch, shapes
+
+    def preprocess_device(self, images: np.ndarray):
+        """Device-side batched letterbox for UNIFORM-shape inputs (e.g. video
+        frames): one jitted resize+pad+normalize on the TPU, fused by XLA —
+        the inference-hot-path replacement for per-image host cv2 work.
+
+        images: (B, H, W, 3) uint8 BGR. Returns (batch (B, th, tw, 3) float32
+        RGB in [0,1] on device, original_shapes list).
+        """
+        import jax
+
+        b, h, w, _ = images.shape
+        fn = self._device_fn(h, w)
+        batch = fn(jax.numpy.asarray(images))
+        return batch, [(h, w)] * b
+
+    def _device_fn(self, h: int, w: int):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from cerberusdet_tpu.ops.letterbox import PAD_VALUE, letterbox_params
+
+        th, tw = self.img_size
+        ratio, new_unpad, (dw, dh) = letterbox_params((h, w), (th, tw))
+        top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+
+        @jax.jit
+        def run(imgs):
+            x = imgs[..., ::-1].astype(jnp.float32)  # BGR -> RGB
+            x = jax.image.resize(x, (imgs.shape[0], new_unpad[1], new_unpad[0], 3),
+                                 "linear")
+            out = jnp.full((imgs.shape[0], th, tw, 3), float(PAD_VALUE), jnp.float32)
+            out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
+            return out / 255.0
+
+        return run

@@ -155,15 +155,17 @@ def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM
     """BN over N,H,W. Training mode normalizes with batch stats and collects
     updated running stats into ctx (torch semantics: biased var for
     normalization, unbiased for the running update)."""
-    x32 = x.astype(jnp.float32)
     frozen = ctx.freeze_bn or (path and path[0] in ctx.freeze_bn_uids)
     if ctx.train and not frozen:
-        axes = tuple(range(x32.ndim - 1))
-        mean = jnp.mean(x32, axis=axes)
-        var = jnp.var(x32, axis=axes)
+        axes = tuple(range(x.ndim - 1))
+        # statistics in f32 regardless of activation dtype
+        mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(x.astype(jnp.float32) - mean), axis=axes, dtype=jnp.float32
+        )
         n = 1
         for ax in axes:
-            n *= x32.shape[ax]
+            n *= x.shape[ax]
         unbiased = var * (n / max(n - 1, 1))
         # collect RAW batch stats; the train step folds them into the running
         # stats sequentially per task (see apply_bn_updates), matching the
@@ -172,8 +174,12 @@ def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM
         ctx.put_update(path + ("var",), unbiased)
     else:
         mean, var = p["mean"], p["var"]
+    # the affine is applied in the ACTIVATION dtype (per-channel factors are
+    # computed in f32): upcasting activations here would force f32 residuals
+    # through the whole backward pass, doubling HBM traffic in bf16 training
     inv = jax.lax.rsqrt(var + eps) * p["scale"]
-    return x32 * inv + (p["bias"] - mean * inv)
+    shift = p["bias"] - mean * inv
+    return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def silu(x):

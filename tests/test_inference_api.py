@@ -73,3 +73,19 @@ def test_visualizer_draws(tiny_inference):
     assert out.shape == im.shape
     assert out.sum() > 0  # something drawn
     assert im.sum() == 0  # input untouched
+
+
+def test_preprocess_device_matches_host():
+    pre = CerberusPreprocessor(img_size=128)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)
+    host, shapes_h = pre.preprocess(list(imgs))
+    dev, shapes_d = pre.preprocess_device(imgs)
+    dev = np.asarray(dev)
+    assert shapes_h == shapes_d
+    assert dev.shape == host.shape
+    # identical pad layout, close interiors (cv2 vs jax bilinear)
+    pad = np.all(np.isclose(host, 114 / 255), axis=-1)
+    assert np.allclose(dev[pad], 114 / 255, atol=1e-6)
+    # random-noise images are the worst case for interpolation phase diffs
+    assert np.median(np.abs(dev[~pad] - host[~pad])) < 0.05
