@@ -78,7 +78,8 @@ class CerberusDetInference:
         self.compute_dtype = jnp.bfloat16 if half else jnp.float32
         self.categories_map, self.all_class_names = build_category_map(self.names)
         self.task_order = list(self.names.keys())
-        self.params = jax.device_put(params)
+        # always run fused at inference (exact; reference fuses in attempt_load)
+        self.params = jax.device_put(model.fuse(params))
         self._predict_fn = None
         # warmup/compile at the nominal size
         self.img_size = img_size

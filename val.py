@@ -48,6 +48,8 @@ def load_model_for_eval(weights: str, cfg: str, data_dict):
         import jax.numpy as jnp
 
         params = jax.tree_util.tree_map(jnp.asarray, params)
+    # standalone eval runs fused like the reference's attempt_load(.fuse())
+    params = model.fuse(params)
     return model, params
 
 
