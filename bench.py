@@ -2,23 +2,33 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's published 2-task speed, 7.2 ms/img on V100 b32 fp16
-(README.md:241) = 138.9 img/s.
+(/root/reference/README.md:241) = 138.9 img/s.
 
 Methodology: the K-step forward loop runs INSIDE one jitted fori_loop with a
 data dependency between iterations, and completion is forced by fetching a
 scalar slice. This defeats async-dispatch/memoization shortcuts in the runtime
-and removes per-call dispatch noise — it measures pure device time. At 381.3
-GFLOP/img (reference FLOP count), the current ~2.4 ms/img is ~82% of the
-v5e bf16 roofline, i.e. the model is compute-bound.
+and removes per-call dispatch noise — it measures pure device time.
+
+The loop carry consumes a reduction of EVERY task's output, and the bench
+asserts the compiled loop's convolution count is >= the all-heads forward's
+(round 1 regression: a carry that touched only one head let XLA dead-code-
+eliminate the entire second branch, inflating throughput ~30%).
 """
 
 import json
+import re
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def conv_count(compiled) -> int:
+    """Number of convolution ops in a compiled executable's HLO."""
+    txt = compiled.as_text()
+    return len(re.findall(r"= [^\n=]*convolution", txt))
 
 
 def main():
@@ -46,13 +56,26 @@ def main():
     def loop(params, img, k):
         def body(i, x):
             out = forward(params, x)
-            return img + (out["voc"][0, 0, 0] * 0.0).astype(img.dtype)
+            # consume EVERY head so no task branch can be dead-code-eliminated
+            sink = sum(jnp.mean(out[t]).astype(jnp.float32) for t in out)
+            return img + (sink * 0.0).astype(img.dtype)
 
         x = jax.lax.fori_loop(0, k, body, img)
         return x[0, 0, 0, :].astype(jnp.float32)
 
     img = jax.random.uniform(jax.random.PRNGKey(1), (batch, 640, 640, 3), jnp.float32)
-    np.asarray(loop(params, img, iters))  # compile + warm
+
+    # Guard against dead-code elimination of any task branch: the timed loop
+    # must contain at least as many convolutions as the all-heads forward.
+    fwd_compiled = jax.jit(forward).lower(params, img).compile()
+    loop_compiled = loop.lower(params, img, iters).compile()
+    n_fwd, n_loop = conv_count(fwd_compiled), conv_count(loop_compiled)
+    assert n_loop >= n_fwd, (
+        f"bench loop lost convolutions to DCE: loop has {n_loop}, "
+        f"all-heads forward has {n_fwd}"
+    )
+
+    np.asarray(loop(params, img, iters))  # warm (executable already compiled)
     # best of 3 rounds: the remote relay occasionally penalizes the first
     # timed dispatch after warmup
     best = float("inf")
