@@ -5,6 +5,12 @@ random_perspective :92-186, box_candidates :197-202, mixup :189-194).
 These run on the host input pipeline (mosaic/perspective are python-random,
 branchy and per-image — the wrong shape for XLA); the device path gets the
 already-augmented uint8 batch.
+
+Determinism: every stochastic function takes an explicit `rng` (a
+random.Random; defaults to the global module for back-compat). The dataset
+derives one per (seed, epoch, index), so augmentation is reproducible
+regardless of loader thread scheduling — the TPU-era replacement for the
+reference's global init_seeds (cerberusdet/utils/general.py:38).
 """
 
 from __future__ import annotations
@@ -30,22 +36,24 @@ class PixelAugment:
                  p_gray: float = 0.01):
         self.p_blur, self.p_median, self.p_gray = p_blur, p_median, p_gray
 
-    def __call__(self, im: np.ndarray) -> np.ndarray:
-        if random.random() < self.p_blur:
-            k = random.choice((3, 5, 7))
+    def __call__(self, im: np.ndarray, rng=random) -> np.ndarray:
+        if rng.random() < self.p_blur:
+            k = rng.choice((3, 5, 7))
             im = cv2.blur(im, (k, k))
-        if random.random() < self.p_median:
-            im = cv2.medianBlur(im, random.choice((3, 5, 7)))
-        if random.random() < self.p_gray:
+        if rng.random() < self.p_median:
+            im = cv2.medianBlur(im, rng.choice((3, 5, 7)))
+        if rng.random() < self.p_gray:
             gray = cv2.cvtColor(im, cv2.COLOR_RGB2GRAY)
             im = cv2.cvtColor(gray, cv2.COLOR_GRAY2RGB)
         return im
 
 
-def augment_hsv(im: np.ndarray, hgain: float = 0.5, sgain: float = 0.5, vgain: float = 0.5):
+def augment_hsv(im: np.ndarray, hgain: float = 0.5, sgain: float = 0.5,
+                vgain: float = 0.5, rng=random):
     """In-place HSV jitter via LUTs (RGB in, RGB out)."""
     if hgain or sgain or vgain:
-        r = np.random.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        u = np.array([rng.uniform(-1, 1) for _ in range(3)])
+        r = u * [hgain, sgain, vgain] + 1
         hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_RGB2HSV))
         x = np.arange(0, 256, dtype=r.dtype)
         lut_hue = ((x * r[0]) % 180).astype(im.dtype)
@@ -75,6 +83,7 @@ def random_perspective(
     perspective: float = 0.0,
     border: Tuple[int, int] = (0, 0),
     scaleup: bool = True,
+    rng=random,
 ):
     """Random affine/perspective warp of image + labels.
 
@@ -92,22 +101,22 @@ def random_perspective(
     C[1, 2] = -im.shape[0] / 2
     # Perspective
     P = np.eye(3)
-    P[2, 0] = random.uniform(-perspective, perspective)
-    P[2, 1] = random.uniform(-perspective, perspective)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
     # Rotation and Scale
     R = np.eye(3)
-    a = random.uniform(-degrees, degrees)
+    a = rng.uniform(-degrees, degrees)
     max_s = 1 + scale if scaleup else 1.0
-    s = random.uniform(1 - scale, max_s)
+    s = rng.uniform(1 - scale, max_s)
     R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
     # Shear
     S = np.eye(3)
-    S[0, 1] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
-    S[1, 0] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
     # Translation
     T = np.eye(3)
-    T[0, 2] = random.uniform(0.5 - translate, 0.5 + translate) * width
-    T[1, 2] = random.uniform(0.5 - translate, 0.5 + translate) * height
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
 
     M = T @ S @ R @ P @ C
     if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
@@ -133,9 +142,10 @@ def random_perspective(
     return im, targets
 
 
-def mixup(im: np.ndarray, labels: np.ndarray, im2: np.ndarray, labels2: np.ndarray):
+def mixup(im: np.ndarray, labels: np.ndarray, im2: np.ndarray,
+          labels2: np.ndarray, rng=random):
     """Blend two mosaics with a beta(32, 32) ratio (augmentations.py:189-194)."""
-    r = np.random.beta(32.0, 32.0)
+    r = rng.betavariate(32.0, 32.0)
     im = (im * r + im2 * (1 - r)).astype(np.uint8)
     labels = np.concatenate((labels, labels2), 0)
     return im, labels

@@ -85,8 +85,11 @@ class DetectionDataset:
         cache_images: bool = False,
         task: str = "task",
         cache_dir: Optional[str] = None,
+        seed: int = 0,
     ):
         self.imgsz = imgsz
+        self.seed = seed
+        self.epoch = 0
         self.augment = augment
         self.hyp = {**DEFAULT_HYP, **(hyp or {})}
         self.rect = rect
@@ -145,6 +148,11 @@ class DetectionDataset:
         )
         self._pixel_aug = PixelAugment()
 
+    def set_epoch(self, epoch: int):
+        """Advance the augmentation RNG stream (per-epoch variety while
+        staying deterministic under any loader thread schedule)."""
+        self.epoch = epoch
+
     def __len__(self) -> int:
         return self.n
 
@@ -168,13 +176,13 @@ class DetectionDataset:
         return out
 
     # -------------------------------------------------------------- mosaic
-    def load_mosaic(self, index: int):
+    def load_mosaic(self, index: int, rng=random):
         """4-image mosaic on a 2s x 2s canvas, then affine-crop to s x s
         (datasets.py:483-542)."""
         s = self.imgsz
-        yc, xc = (int(random.uniform(-x, 2 * s + x)) for x in self.mosaic_border)
-        indices = [index] + random.choices(range(self.n), k=3)
-        random.shuffle(indices)
+        yc, xc = (int(rng.uniform(-x, 2 * s + x)) for x in self.mosaic_border)
+        indices = [index] + rng.choices(range(self.n), k=3)
+        rng.shuffle(indices)
         labels4 = []
         im4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
         for i, idx in enumerate(indices):
@@ -204,21 +212,27 @@ class DetectionDataset:
             degrees=self.hyp["degrees"], translate=self.hyp["translate"],
             scale=self.hyp["scale"], shear=self.hyp["shear"],
             perspective=self.hyp["perspective"], border=self.mosaic_border,
-            scaleup=bool(self.hyp.get("scaleup", 1.0)),
+            scaleup=bool(self.hyp.get("scaleup", 1.0)), rng=rng,
         )
         return im4, labels4
 
     # ------------------------------------------------------------ getitem
     def __getitem__(self, index: int):
         index = int(self.indices[index])
+        # Deterministic per-sample RNG: a fixed function of (seed, epoch,
+        # index), so concurrent prefetch threads cannot perturb augmentation
+        # (reference seeds globals instead: general.py:38, torch_utils.py:51).
+        rng = random.Random(hash((self.seed, self.epoch, index)))
         hyp = self.hyp
-        mosaic = self.augment and random.random() < hyp["mosaic"]
+        mosaic = self.augment and rng.random() < hyp["mosaic"]
         if mosaic:
-            img, labels = self.load_mosaic(index)
+            img, labels = self.load_mosaic(index, rng)
             shapes = None
             ori_shape = (self.imgsz, self.imgsz)
-            if random.random() < hyp["mixup"]:
-                img, labels = mixup(img, labels, *self.load_mosaic(random.randint(0, self.n - 1)))
+            if rng.random() < hyp["mixup"]:
+                img, labels = mixup(
+                    img, labels, *self.load_mosaic(rng.randint(0, self.n - 1), rng),
+                    rng=rng)
         else:
             img, (h0, w0), (h, w) = self.load_image(index)
             shape = (
@@ -239,7 +253,7 @@ class DetectionDataset:
                     degrees=hyp["degrees"], translate=hyp["translate"],
                     scale=hyp["scale"], shear=hyp["shear"],
                     perspective=hyp["perspective"],
-                    scaleup=bool(hyp.get("scaleup", 1.0)),
+                    scaleup=bool(hyp.get("scaleup", 1.0)), rng=rng,
                 )
 
         nl = len(labels)
@@ -248,12 +262,12 @@ class DetectionDataset:
                 labels[:, 2:6], w=img.shape[1], h=img.shape[0], clip=True, eps=1e-3
             )
         if self.augment:
-            img = self._pixel_aug(img)
-            augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
-            if random.random() < hyp["flipud"]:
+            img = self._pixel_aug(img, rng)
+            augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], rng=rng)
+            if rng.random() < hyp["flipud"]:
                 img, boxes = flip_ud(img, labels[:, 2:6])
                 labels[:, 2:6] = boxes
-            if random.random() < hyp["fliplr"]:
+            if rng.random() < hyp["fliplr"]:
                 img, boxes = flip_lr(img, labels[:, 2:6])
                 labels[:, 2:6] = boxes
 

@@ -6,14 +6,19 @@ Behavioral parity target: cerberusdet/data/dataloaders.py (create_dataloader
   * The collate pads labels to `max_labels` per image and emits a dense
     {img, cls, prob, bboxes, mask} dict — static shapes end-to-end, no
     (batch_idx, ragged rows) indirection.
-  * Prefetch is a small thread pipeline (this host feeds one accelerator
+  * Prefetch is a thread pipeline: decode/augment (cv2 releases the GIL) runs
+    on a pool, batches are assembled in order (this host feeds one accelerator
     process; torch's worker-process pool is unnecessary machinery here).
+    Determinism holds under any thread schedule because the dataset derives
+    its augmentation RNG per (seed, epoch, index), not from global state.
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -52,18 +57,22 @@ class DataLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int, sampler=None,
                  max_labels: int = 300, drop_last: bool = True,
-                 prefetch: int = 2, num_threads: int = 2):
+                 prefetch: int = 3, num_threads: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler if sampler is not None else ShuffleSampler(len(dataset), False)
         self.max_labels = max_labels
         self.drop_last = drop_last
         self.prefetch = prefetch
+        if num_threads is None:
+            num_threads = min(8, os.cpu_count() or 1)
         self.num_threads = max(num_threads, 1)
 
     def set_epoch(self, epoch: int):
         if hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.sampler)
@@ -88,9 +97,16 @@ class DataLoader:
         stop = object()
 
         def worker():
+            # Items fetched on a pool (decode/augment drop the GIL in cv2);
+            # executor.map preserves sample order, so batches are identical
+            # to the sequential path.
             try:
-                for idxs in self._batches():
-                    q.put(collate([self.dataset[i] for i in idxs], self.max_labels))
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in self._batches():
+                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        q.put(collate(samples, self.max_labels))
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
             finally:
                 q.put(stop)
 
@@ -100,6 +116,8 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
@@ -154,13 +172,14 @@ def create_dataloader(
     host_sharded: bool = True,
     cache_dir: Optional[str] = None,
     cache_images: bool = False,
+    num_threads: Optional[int] = None,
 ):
     """Build (dataset, loader) for one task (dataloaders.py:39-93 parity)."""
     dataset = DetectionDataset(
         path, imgsz=imgsz, augment=augment, hyp=hyp, rect=rect, stride=stride,
         pad=pad, batch_size=batch_size, use_xml=use_xml, classnames=classnames,
         multi_label=multi_label, soft_label=soft_label, task=task,
-        cache_dir=cache_dir, cache_images=cache_images,
+        cache_dir=cache_dir, cache_images=cache_images, seed=seed,
     )
     if balanced_sampler and augment:
         sampler = BalancedSampler(dataset.labels, class_choice, seed=seed)
@@ -171,5 +190,5 @@ def create_dataloader(
     if host_sharded and jax.process_count() > 1:
         sampler = HostShardSampler(sampler)
     loader = DataLoader(dataset, batch_size, sampler, max_labels=max_labels,
-                        drop_last=augment)
+                        drop_last=augment, num_threads=num_threads)
     return dataset, loader

@@ -54,6 +54,9 @@ def main(argv=None):
     opt_ns = parse_opt(argv)
     from cerberusdet_tpu.manager.run_manager import parse_data_config
     from cerberusdet_tpu.train.trainer import TrainLoop, TrainOptions
+    from cerberusdet_tpu.utils.seeds import init_seeds
+
+    init_seeds(opt_ns.seed)
 
     with open(opt_ns.hyp) as f:
         hyp = yaml.safe_load(f)
