@@ -11,7 +11,6 @@ python.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -80,7 +79,15 @@ class CerberusDetInference:
         self.task_order = list(self.names.keys())
         # always run fused at inference (exact; reference fuses in attempt_load)
         self.params = jax.device_put(model.fuse(params))
-        self._predict_fn = None
+        # params are a RUNTIME argument of the jitted program, never a traced
+        # constant: closure-capturing them would serialize every weight into
+        # the HLO (hundreds of MB for v8x — rejected by remote compile
+        # services) and force a recompile whenever params change.
+        self._device_predict = jax.jit(
+            self._predict_impl,
+            static_argnames=("conf_thres", "iou_thres", "iou_bt", "agnostic",
+                             "max_det"),
+        )
         # warmup/compile at the nominal size
         self.img_size = img_size
         self.warmup(img_size)
@@ -88,16 +95,15 @@ class CerberusDetInference:
     # ------------------------------------------------------------------
     def warmup(self, img_size: int, batch: int = 1):
         dummy = jnp.zeros((batch, img_size, img_size, 3), jnp.float32)
-        self._device_predict(dummy, self.conf_thres, self.iou_thres,
+        self._device_predict(self.params, dummy, self.conf_thres, self.iou_thres,
                              self.iou_thres_between_tasks, False, self.max_det)
 
-    @partial(jax.jit, static_argnames=("self", "conf_thres", "iou_thres",
-                                       "iou_bt", "agnostic", "max_det"))
-    def _device_predict(self, batch, conf_thres, iou_thres, iou_bt, agnostic, max_det):
+    def _predict_impl(self, params, batch, conf_thres, iou_thres, iou_bt,
+                      agnostic, max_det):
         """One fused program: forward all heads -> per-task NMS -> global class
         remap -> cross-task suppression. Returns (B, T*max_det, 6) + keep."""
         ctx = Ctx(train=False, dtype=self.compute_dtype)
-        out = self.model(self.params, batch, ctx)
+        out = self.model(params, batch, ctx)
         dets_all, task_idx_all = [], []
         for ti, task in enumerate(self.task_order):
             pred, _ = out[task]
@@ -138,7 +144,8 @@ class CerberusDetInference:
         max_det = self.max_det if max_det is None else max_det
         batch = jnp.asarray(batch)
         merged, task_idx, keep = self._device_predict(
-            batch, conf_thres, iou_thres, iou_bt, bool(agnostic_nms), int(max_det))
+            self.params, batch, conf_thres, iou_thres, iou_bt,
+            bool(agnostic_nms), int(max_det))
         merged = np.asarray(merged)
         task_idx = np.asarray(task_idx)
         keep = np.asarray(keep)

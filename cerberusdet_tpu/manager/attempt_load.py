@@ -27,8 +27,11 @@ def load_single(weights: str, cfg: Optional[str] = None,
 
         weights = attempt_mlflow_download(weights)
     if weights.endswith(".pt"):
-        if cfg is None or task_ids is None or nc is None:
-            raise ValueError(".pt weights need cfg/task_ids/nc")
+        if not cfg or not task_ids or nc is None:
+            raise ValueError(
+                ".pt weights carry no architecture metadata — pass the model "
+                "config (--cfg) and the data yaml (--data) so task_ids/nc are "
+                "known")
         from cerberusdet_tpu.manager.pt_import import import_pt
 
         model = CerberusModel(cfg, task_ids, nc)

@@ -7,9 +7,13 @@ head keys duplicated to every task head) and convert_to_cerber.py.
 Supported sources:
   * plain YOLOv8 state_dicts ('model.N.<sub>.weight', ultralytics layout),
   * unsplit CerberusDet state_dicts ('blocks.M.*' + 'heads.<task>.*'),
-  * torch .pt files whose checkpoint dict has 'model'/'ema' entries holding a
-    state_dict (module-pickled ckpts must be stripped to state_dicts first —
-    we never unpickle code).
+  * torch .pt files whose checkpoint dict has 'model'/'ema' entries holding
+    either a state_dict OR a whole pickled nn.Module — the reference pickles
+    module objects (models_manager.py:303-305, experimental.py:112-122).
+    Module pickles are loaded with a SHIM unpickler: unknown classes
+    (cerberusdet.*, ultralytics.*, ...) deserialize into inert attribute
+    holders, and the state dict is re-collected by walking the module graph's
+    _parameters/_buffers/_modules — no reference code is imported or run.
 
 Weight layout conversion: torch OIHW -> our HWIO (transpose 2,3,1,0).
 Branched clones receive the same source weights (the deepcopy-split
@@ -27,35 +31,123 @@ from cerberusdet_tpu.models.cerberus import CerberusModel
 TORCH_BN = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
 
 
+class _ShimObject:
+    """Inert stand-in for classes whose code is unavailable at unpickle time
+    (the reference's cerberusdet.* module classes). Captures attribute state;
+    exposes nothing else."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        elif isinstance(state, tuple):  # (dict_state, slots_state)
+            for part in state:
+                if isinstance(part, dict):
+                    self.__dict__.update(part)
+
+
+# torch's own tensor-rebuild machinery and stdlib containers must resolve
+# for real; everything else becomes a shim.
+_SAFE_PICKLE_ROOTS = (
+    "torch", "collections", "numpy", "builtins", "copyreg", "pathlib",
+    "argparse", "functools",
+)
+
+
+def _shim_unpickle_torch(path):
+    """torch.load with a pickle module whose Unpickler shims unknown classes,
+    so module-pickled checkpoints deserialize without their source code."""
+    import pickle
+    import types
+
+    import torch
+
+    class ShimUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] in _SAFE_PICKLE_ROOTS:
+                return super().find_class(module, name)
+            return type(name, (_ShimObject,), {"__module__": module})
+
+    def shim_load(f, **kw):
+        kw.pop("encoding", None)
+        return ShimUnpickler(f).load()
+
+    shim_pickle = types.SimpleNamespace(
+        Unpickler=ShimUnpickler, load=shim_load, __name__="shim_pickle"
+    )
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False,
+                          pickle_module=shim_pickle)
+    except Exception as e:
+        raise ValueError(f"{path} is not a readable torch checkpoint: {e}") from e
+
+
+def _collect_module_state(obj, prefix: str = "") -> Dict[str, Any]:
+    """Re-implementation of nn.Module.state_dict() over a shim-unpickled
+    module graph: walk _parameters/_buffers/_modules recursively."""
+    out: Dict[str, Any] = {}
+    d = getattr(obj, "__dict__", {})
+    for name, p in (d.get("_parameters") or {}).items():
+        if p is not None:
+            out[prefix + name] = p
+    for name, b in (d.get("_buffers") or {}).items():
+        if b is not None:
+            out[prefix + name] = b
+    for name, m in (d.get("_modules") or {}).items():
+        if m is not None:
+            out.update(_collect_module_state(m, f"{prefix}{name}."))
+    return out
+
+
+def _is_module_graph(obj) -> bool:
+    d = getattr(obj, "__dict__", None)
+    return isinstance(d, dict) and ("_modules" in d or "_parameters" in d)
+
+
 def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
     """Load a .pt and extract a flat {key: ndarray} state dict. Picks
-    'ema' over 'model' like attempt_load (experimental.py:99-139)."""
+    'ema' over 'model' like attempt_load (experimental.py:99-139). Falls
+    back to the shim unpickler for module-pickled reference checkpoints."""
     import torch
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        ckpt = _shim_unpickle_torch(path)
+
+    def extract(obj):
+        if obj is None:
+            return None
+        if hasattr(obj, "state_dict") and callable(getattr(obj, "state_dict")):
+            return obj.state_dict()
+        if _is_module_graph(obj):
+            return _collect_module_state(obj)
+        if isinstance(obj, dict) and obj and all(
+            hasattr(v, "shape") for v in obj.values()
+        ):
+            return obj
+        return None
+
     sd = None
     if isinstance(ckpt, dict):
         for key in ("ema", "model"):
-            obj = ckpt.get(key)
-            if obj is None:
-                continue
-            if hasattr(obj, "state_dict"):
-                sd = obj.state_dict()
-            elif isinstance(obj, dict):
-                sd = obj
+            sd = extract(ckpt.get(key))
             if sd:
                 break
-        if sd is None and all(hasattr(v, "shape") for v in ckpt.values()):
-            sd = ckpt  # bare state dict
-    elif hasattr(ckpt, "state_dict"):
-        sd = ckpt.state_dict()
+        if sd is None:
+            sd = extract(ckpt)  # bare state dict
+    else:
+        sd = extract(ckpt)
     if sd is None:
         raise ValueError(f"cannot extract a state_dict from {path}")
-    return {k: v.float().numpy() if hasattr(v, "float") else np.asarray(v, np.float32)
-            for k, v in sd.items()}
+    def to_np(v):
+        if hasattr(v, "detach"):
+            return v.detach().float().numpy()
+        return np.asarray(v, np.float32)
+
+    return {k: to_np(v) for k, v in sd.items()}
 
 
 def _conv_w(t: np.ndarray) -> np.ndarray:

@@ -7,6 +7,7 @@ merged labels, optional crops, save annotated images.
 """
 
 import argparse
+import sys
 from pathlib import Path
 
 import cv2
@@ -66,6 +67,9 @@ def main(argv=None):
         from cerberusdet_tpu.manager.run_manager import parse_data_config
         from cerberusdet_tpu.models.cerberus import CerberusModel
 
+        if not opt.cfg or not opt.data:
+            sys.exit(".pt weights carry no architecture metadata — pass both "
+                     "--cfg (model yaml) and --data (data yaml)")
         data_dict = parse_data_config(opt.data)
         model = CerberusModel(opt.cfg, data_dict["task_ids"], data_dict["nc"])
         params = import_pt(model, model.init(jax.random.PRNGKey(0)), opt.weights)
