@@ -18,6 +18,9 @@ def parse_opt(argv=None):
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--no-rect", action="store_true",
+                   help="disable rect (aspect-grouped) batching; the reference "
+                        "evaluates with rect=True pad=0.5 (val.py:231-246)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--project", default="runs/val")
@@ -99,9 +102,14 @@ def main(argv=None):
     for ti, task in enumerate(data_dict["task_ids"]):
         split = "val" if opt.task == "val" else "test"
         path = data_dict.get(split, data_dict["val"])[ti]
+        # reference standalone-val protocol: rect=True, pad=0.5
+        # (cerberusdet/val.py:231-246) — aspect-grouped batches, one letterbox
+        # shape per batch (a bounded set of stride-multiple shapes, each
+        # compiled once and cached across tasks/epochs)
         _, loader = create_dataloader(
             path, imgsz=opt.imgsz, batch_size=opt.batch_size, augment=False,
-            shuffle=False, classnames=data_dict["names"][ti], task=f"{task}_val",
+            shuffle=False, rect=not opt.no_rect, pad=0.5,
+            classnames=data_dict["names"][ti], task=f"{task}_val",
         )
         out = run_task(
             model, params, task, loader, nc=data_dict["nc"][ti],
