@@ -95,6 +95,7 @@ class DataLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
 
         def worker():
             # Items fetched on a pool (decode/augment drop the GIL in cv2);
@@ -103,22 +104,44 @@ class DataLoader:
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     for idxs in self._batches():
+                        if cancel.is_set():
+                            return
                         samples = list(pool.map(self.dataset.__getitem__, idxs))
                         q.put(collate(samples, self.max_labels))
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)
             finally:
-                q.put(stop)
+                # deliver the sentinel; if the consumer cancelled and left,
+                # give up instead of blocking this (daemon) thread forever
+                while not cancel.is_set():
+                    try:
+                        q.put(stop, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer stopped early (break / close / GC): stop the worker
+            # instead of letting it decode into the void (and read files the
+            # caller may already be cleaning up)
+            cancel.set()
+            while t.is_alive():
+                while not q.empty():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+                t.join(timeout=0.05)
 
 
 class InfiniteLoader:

@@ -35,11 +35,15 @@ class Ctx:
     """Trace-time context threaded through a forward pass."""
 
     def __init__(self, train: bool = False, dtype=jnp.float32, freeze_bn: bool = False,
-                 freeze_bn_uids=frozenset()):
+                 freeze_bn_uids=frozenset(), img_mask=None):
         self.train = train
         self.dtype = dtype  # compute dtype for convs (params stay fp32)
         self.freeze_bn = freeze_bn  # when True, use running stats even in train
         self.freeze_bn_uids = freeze_bn_uids  # per-block freeze (freeze_shared_layers)
+        # per-image validity (B,) 0/1: rows padded for mesh divisibility are
+        # excluded from BN batch statistics (and from the loss downstream), so
+        # a padded step computes EXACTLY the unpadded gradients
+        self.img_mask = img_mask
         self.updates: Dict[Path, jnp.ndarray] = {}
 
     def put_update(self, path: Path, value) -> None:
@@ -47,7 +51,7 @@ class Ctx:
 
     def replace(self, **kw) -> "Ctx":
         new = Ctx(train=self.train, dtype=self.dtype, freeze_bn=self.freeze_bn,
-                  freeze_bn_uids=self.freeze_bn_uids)
+                  freeze_bn_uids=self.freeze_bn_uids, img_mask=self.img_mask)
         new.__dict__.update(kw)
         new.updates = self.updates  # share the collector
         return new
@@ -158,15 +162,30 @@ def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM
     frozen = ctx.freeze_bn or (path and path[0] in ctx.freeze_bn_uids)
     if ctx.train and not frozen:
         axes = tuple(range(x.ndim - 1))
-        # statistics in f32 regardless of activation dtype
-        mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
-        var = jnp.mean(
-            jnp.square(x.astype(jnp.float32) - mean), axis=axes, dtype=jnp.float32
-        )
-        n = 1
-        for ax in axes:
-            n *= x.shape[ax]
-        unbiased = var * (n / max(n - 1, 1))
+        if ctx.img_mask is not None:
+            # weighted statistics over valid rows only: padded rows (mesh
+            # divisibility, parallel/mesh.py pad_batch_to) must not perturb
+            # the normalization of real rows
+            w = ctx.img_mask.astype(jnp.float32).reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+            per_row = 1
+            for ax in axes[1:]:
+                per_row *= x.shape[ax]
+            n_f = jnp.maximum(jnp.sum(ctx.img_mask.astype(jnp.float32)), 1.0) * per_row
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * w, axis=axes) / n_f
+            var = jnp.sum(jnp.square(xf - mean) * w, axis=axes) / n_f
+            unbiased = var * (n_f / jnp.maximum(n_f - 1.0, 1.0))
+        else:
+            # statistics in f32 regardless of activation dtype
+            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32) - mean), axis=axes, dtype=jnp.float32
+            )
+            n = 1
+            for ax in axes:
+                n *= x.shape[ax]
+            unbiased = var * (n / max(n - 1, 1))
         # collect RAW batch stats; the train step folds them into the running
         # stats sequentially per task (see apply_bn_updates), matching the
         # reference's per-task-forward buffer updates

@@ -49,17 +49,23 @@ def shard_task_batches(batches: Dict[str, Dict[str, Any]], mesh: Mesh,
 
 
 def pad_batch_to(batch: Dict[str, Any], size: int):
-    """Pad the leading dim to `size` (divisibility by mesh size); padded rows
-    get zeroed masks so they contribute nothing to the loss."""
+    """Pad the leading dim to `size` (divisibility by mesh size). The emitted
+    'img_mask' (1 for real rows, 0 for padding) makes the padded step compute
+    EXACTLY the unpadded gradients: the loss zeroes padded rows' terms and
+    normalizes by valid-row count (train/loss.py) and BatchNorm excludes them
+    from batch statistics (nn/module.py batch_norm)."""
+    n = next(iter(batch.values())).shape[0]
+
     def pad(x):
-        n = x.shape[0]
-        if n == size:
+        if x.shape[0] == size:
             return x
-        widths = [(0, size - n)] + [(0, 0)] * (x.ndim - 1)
+        widths = [(0, size - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
         return np.pad(np.asarray(x), widths)
 
     out = {k: pad(v) for k, v in batch.items()}
     if "mask" in out:
-        n = next(iter(batch.values())).shape[0]
         out["mask"][n:] = False
+    img_mask = np.zeros(size, np.float32)
+    img_mask[:n] = 1.0
+    out["img_mask"] = img_mask
     return out

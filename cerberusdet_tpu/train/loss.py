@@ -100,13 +100,26 @@ class DetectionLoss:
         target_scores = assign.target_scores
         tss = jnp.maximum(jnp.sum(target_scores), 1.0)
 
+        # per-image validity: rows padded for mesh divisibility contribute
+        # ZERO loss (their background-BCE term would otherwise leak gradients
+        # the reference's unpadded DDP batches never produce)
+        img_mask = batch.get("img_mask")
+        n_eff = b
+        if img_mask is not None:
+            img_mask = img_mask.astype(jnp.float32)
+            n_eff = jnp.maximum(jnp.sum(img_mask), 1.0)
+
         # cls: BCE-with-logits, sum / target_scores_sum
         bce = optax_sigmoid_bce(pred_scores, target_scores)
+        if img_mask is not None:
+            bce = bce * img_mask[:, None, None]
         loss_cls = jnp.sum(bce) / tss
 
         # box + dfl on foreground anchors
         fg = assign.fg_mask
         weight = jnp.sum(target_scores, axis=-1) * fg  # (B, N)
+        if img_mask is not None:
+            weight = weight * img_mask[:, None]
         target_bboxes = assign.target_bboxes / stride_tensor[None]
         iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False, CIoU=True)
         loss_box = jnp.sum((1.0 - iou) * weight) / tss
@@ -123,7 +136,8 @@ class DetectionLoss:
         # loss.py:177-181 sums a 4-vector whose last element is already the
         # sum of the first three. Kept for exact gradient-scale parity (the
         # published hyps were tuned against it); `items` stay un-doubled.
-        return 2.0 * total * b, items
+        # n_eff (valid rows) replaces B when the batch carries padding.
+        return 2.0 * total * n_eff, items
 
 
 def optax_sigmoid_bce(logits, labels):

@@ -149,7 +149,8 @@ class MultiTaskTrainer:
                 items: Dict[str, LossItems] = {}
                 bn_updates = []
                 for t, batch in zip(tasks, batch_list):
-                    ctx = Ctx(train=True, dtype=cdtype, freeze_bn_uids=freeze_bn_uids)
+                    ctx = Ctx(train=True, dtype=cdtype, freeze_bn_uids=freeze_bn_uids,
+                              img_mask=batch.get("img_mask"))
                     img = batch["img"]
                     if img.dtype == jnp.uint8:
                         img = img.astype(jnp.float32) / 255.0

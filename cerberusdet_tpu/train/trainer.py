@@ -213,8 +213,14 @@ class TrainLoop:
                                 names=self.manager.names[self.task_ids.index(t)])
                 b = {k: v for k, v in b.items() if k != "meta"}
                 if self.mesh is not None:
-                    from cerberusdet_tpu.parallel import shard_batch
+                    from cerberusdet_tpu.parallel import pad_batch_to, shard_batch
 
+                    n_dev = self.mesh.devices.size
+                    bs = b["img"].shape[0]
+                    if bs % n_dev:
+                        # loss- and BN-neutral padding (img_mask threads
+                        # through the step): padded == unpadded gradients
+                        b = pad_batch_to(b, bs + n_dev - bs % n_dev)
                     b = shard_batch(b, self.mesh)
                 batches[t] = b
             self.state, items = self.trainer.step(self.state, batches, lrs, mom,
