@@ -111,10 +111,20 @@ class MultiTaskTrainer:
         tasks = tuple(sorted(batches.keys(), key=self.model.task_ids.index))
         key = (tasks, bool(freeze_shared))
         if key not in self._steps:
-            self._steps[key] = self._build_step(tasks, bool(freeze_shared))
+            self._steps[key] = jax.jit(self.raw_step(tasks, bool(freeze_shared)),
+                                       donate_argnums=(0,))
         batch_list = tuple(batches[t] for t in tasks)
         return self._steps[key](state, batch_list, jnp.asarray(lrs, jnp.float32),
                                 jnp.asarray(momentum, jnp.float32))
+
+    def raw_step(self, tasks: Tuple[str, ...], freeze_shared: bool = False):
+        """The UNJITTED step function (state, batch_list, lrs, momentum) ->
+        (state, items) — compose it into larger jitted programs (lax.scan
+        multi-step benchmarking, custom training loops)."""
+        key = ("raw", tasks, bool(freeze_shared))
+        if key not in self._steps:
+            self._steps[key] = self._build_step(tasks, bool(freeze_shared))
+        return self._steps[key]
 
     # ------------------------------------------------------------------
     def _build_step(self, tasks: Tuple[str, ...], freeze_shared: bool):
@@ -177,4 +187,4 @@ class MultiTaskTrainer:
             ema = ema_update(state.ema_params, new_params, n, self.ema_decay0)
             return TrainState(new_params, new_opt, ema, n), items
 
-        return jax.jit(run, donate_argnums=(0,))
+        return run

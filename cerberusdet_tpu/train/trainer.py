@@ -179,7 +179,7 @@ class TrainLoop:
         freeze = epoch < opt.freeze_shared_till_epoch
         iters = {t: InfiniteLoader(self.train_loaders[t]) for t in self.task_ids}
         momentum_h = float(get_hyperparameter(self.hyp, "momentum"))
-        mloss = {t: np.zeros(3) for t in self.task_ids}
+        mloss: Dict[str, Any] = {t: None for t in self.task_ids}
         counts = {t: 0 for t in self.task_ids}
         if epoch == self.start_epoch and opt.plots and not opt.nosave:
             from cerberusdet_tpu.utils.plots import plot_labels
@@ -227,9 +227,23 @@ class TrainLoop:
                                                   freeze_shared=freeze)
             for t in active:
                 it = items[t]
-                mloss[t] += np.array([float(it.box), float(it.cls), float(it.dfl)])
+                # accumulate ON DEVICE: float(it.box) here would force a
+                # host sync every step (the round-1 ~1.0 s/step was mostly
+                # this); the fetch happens once per epoch below
+                dev = mloss.get(t)
+                item_vec = jnp.stack([it.box, it.cls, it.dfl])
+                mloss[t] = item_vec if dev is None else dev + item_vec
                 counts[t] += 1
-        return {t: mloss[t] / max(counts[t], 1) for t in self.task_ids}
+        out = {
+            t: (np.asarray(mloss[t]) if mloss[t] is not None else np.zeros(3))
+            / max(counts[t], 1)
+            for t in self.task_ids
+        }
+        losses_str = "  ".join(
+            f"{t}: box {out[t][0]:.3f} cls {out[t][1]:.3f} dfl {out[t][2]:.3f}"
+            for t in self.task_ids)
+        print(f"epoch {epoch + 1}/{self.opt.epochs}  {losses_str}")
+        return out
 
     # ------------------------------------------------------------------
     def val_epoch(self, epoch: int, plots: bool = False) -> float:
