@@ -3,30 +3,54 @@
 Behavioral parity target: cerberusdet/cerberusdet_preprocessor.py:12-74
 (letterbox each BGR image, BGR->RGB, stack, normalize /255). Output layout is
 NHWC float32 in [0, 1] (TPU-native) instead of CHW torch tensors.
+
+Hot path: uniform-shape inputs (video frames, batched serving) route through
+ONE jitted device program (resize+pad+normalize fused by XLA, single H2D copy
+of the uint8 batch). Ragged inputs fall back to per-image host cv2. The
+device resize is bilinear with half-pixel centers — it matches cv2
+INTER_LINEAR to ~1/255; golden-parity tests pin the host path.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Union
+from typing import Dict, List, Sequence, Tuple, Union
 
 import numpy as np
 
 from cerberusdet_tpu.ops.letterbox import letterbox_host
 
+# compile a device letterbox for at most this many distinct source shapes;
+# beyond that (a folder of arbitrary photos) the host path is cheaper than
+# recompiling
+MAX_DEVICE_SHAPES = 4
+
 
 class CerberusPreprocessor:
     def __init__(self, img_size: Union[int, Tuple[int, int]] = 640, stride: int = 32,
-                 auto: bool = False):
+                 auto: bool = False, prefer_device: bool = True):
         self.img_size = (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
         self.stride = stride
         self.auto = auto
+        self.prefer_device = prefer_device
+        self._device_fns: Dict[Tuple[int, int], object] = {}
 
     def preprocess(self, images: Sequence[np.ndarray]):
         """images: list of HWC BGR uint8 ndarrays (the cv2 convention).
 
         Returns (batch (B, H, W, 3) float32 in [0,1] RGB, original_shapes
         [(h, w), ...]). Feed the batch to CerberusDetInference.predict.
+        Uniform-shape inputs run on device (one fused jitted program);
+        ragged inputs letterbox on host.
         """
+        shapes = [im.shape[:2] for im in images]
+        if (self.prefer_device and not self.auto and len(set(shapes)) == 1
+                and (shapes[0] in self._device_fns
+                     or len(self._device_fns) < MAX_DEVICE_SHAPES)):
+            return self.preprocess_device(np.stack(images))
+        return self.preprocess_host(images)
+
+    def preprocess_host(self, images: Sequence[np.ndarray]):
+        """Per-image cv2 letterbox (the reference's exact arithmetic)."""
         out: List[np.ndarray] = []
         shapes: List[Tuple[int, int]] = []
         for im in images:
@@ -52,8 +76,11 @@ class CerberusPreprocessor:
         return batch, [(h, w)] * b
 
     def _device_fn(self, h: int, w: int):
-        import functools
-
+        """Jitted letterbox compiled once per source shape (cached)."""
+        key = (h, w)
+        fn = self._device_fns.get(key)
+        if fn is not None:
+            return fn
         import jax
         import jax.numpy as jnp
 
@@ -72,4 +99,5 @@ class CerberusPreprocessor:
             out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
             return out / 255.0
 
+        self._device_fns[key] = run
         return run

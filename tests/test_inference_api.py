@@ -79,7 +79,7 @@ def test_preprocess_device_matches_host():
     pre = CerberusPreprocessor(img_size=128)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, (2, 96, 160, 3), dtype=np.uint8)
-    host, shapes_h = pre.preprocess(list(imgs))
+    host, shapes_h = pre.preprocess_host(list(imgs))
     dev, shapes_d = pre.preprocess_device(imgs)
     dev = np.asarray(dev)
     assert shapes_h == shapes_d
@@ -89,3 +89,31 @@ def test_preprocess_device_matches_host():
     assert np.allclose(dev[pad], 114 / 255, atol=1e-6)
     # random-noise images are the worst case for interpolation phase diffs
     assert np.median(np.abs(dev[~pad] - host[~pad])) < 0.05
+
+
+def test_preprocess_routing():
+    """Uniform batches go to the device path; ragged / auto / shape-overflow
+    fall back to host cv2."""
+    pre = CerberusPreprocessor(img_size=64)
+    rng = np.random.default_rng(1)
+    uniform = [rng.integers(0, 255, (48, 80, 3), dtype=np.uint8) for _ in range(3)]
+    batch, _ = pre.preprocess(uniform)
+    assert (48, 80) in pre._device_fns  # device path used
+    assert not isinstance(batch, np.ndarray)  # device array
+
+    ragged = [rng.integers(0, 255, (h, 80, 3), dtype=np.uint8) for h in (48, 56)]
+    batch2, _ = pre.preprocess(ragged)
+    assert isinstance(batch2, np.ndarray)  # host fallback
+
+    # auto (stride-minimal padding) is host-only
+    pre_auto = CerberusPreprocessor(img_size=64, auto=True)
+    b3, _ = pre_auto.preprocess(uniform)
+    assert isinstance(b3, np.ndarray)
+    assert not pre_auto._device_fns
+
+    # shape-cache overflow: new shapes beyond the cap run on host
+    pre_cap = CerberusPreprocessor(img_size=64)
+    for i, h in enumerate((40, 44, 52, 56, 60)):
+        im = [rng.integers(0, 255, (h, 64, 3), dtype=np.uint8)]
+        pre_cap.preprocess(im)
+    assert len(pre_cap._device_fns) == 4  # MAX_DEVICE_SHAPES
