@@ -64,7 +64,8 @@ class RunManager:
     """Owns the run directory, the model + params, checkpoints and logs."""
 
     def __init__(self, hyp: Dict[str, Any], data_dict: Dict[str, Any], cfg,
-                 save_dir, exist_ok: bool = False, nosave: bool = False):
+                 save_dir, exist_ok: bool = False, nosave: bool = False,
+                 mlflow_url: str = "", experiment_name: str = "cerberusdet"):
         self.hyp = dict(hyp)
         self.data = data_dict
         self.cfg = cfg
@@ -79,6 +80,15 @@ class RunManager:
         self.best_fitness = 0.0
         self.best_fitness_per_task = {t: 0.0 for t in self.task_ids}
         self._tb = None
+        # MLflow (models_manager.py:322-397 + train.py:263-273): a no-op
+        # logger when mlflow is absent/URL unset — training relies on TB +
+        # results.txt either way
+        self.mlflow = None
+        if mlflow_url:
+            from cerberusdet_tpu.utils.mlflow_logging import MLFlowLogger
+
+            self.mlflow = MLFlowLogger(experiment_name, self.save_dir.name,
+                                       tracking_uri=mlflow_url)
 
     # ------------------------------------------------------------- setup
     def dump_settings(self, opt: Optional[dict] = None):
@@ -88,6 +98,9 @@ class RunManager:
             with open(self.save_dir / "opt.yaml", "w") as f:
                 yaml.safe_dump({k: (str(v) if isinstance(v, Path) else v)
                                 for k, v in opt.items()}, f, sort_keys=False)
+        if self.mlflow:
+            self.mlflow.log_params({**self.hyp,
+                                    **{f"opt/{k}": v for k, v in (opt or {}).items()}})
 
     def tb_writer(self):
         if self._tb is None:
@@ -179,6 +192,11 @@ class RunManager:
                 tb.add_scalar(tag, float(v), epoch)
             for gi, lr in enumerate(lrs):
                 tb.add_scalar(f"x/{task}/lr{gi}", float(lr), epoch)
+        if self.mlflow:
+            metrics = {t.replace(":", "_"): float(v) for t, v in zip(tags, mloss)}
+            metrics.update({f"x/{task}/lr{gi}": float(lr)
+                            for gi, lr in enumerate(lrs)})
+            self.mlflow.log_metrics(metrics, step=epoch)
 
     def val_log(self, task: str, results, epoch: int, fitness_val: float):
         mp, mr, map50, mAP = results[:4]
@@ -194,3 +212,29 @@ class RunManager:
             f.write(f"epoch {epoch} task {task} "
                     f"P {mp:.5f} R {mr:.5f} mAP50 {map50:.5f} mAP {mAP:.5f} "
                     f"fitness {fitness_val:.5f}\n")
+        if self.mlflow:
+            self.mlflow.log_metrics({
+                f"metrics/{task}/precision": float(mp),
+                f"metrics/{task}/recall": float(mr),
+                f"metrics/{task}/mAP_0.5": float(map50),
+                f"metrics/{task}/mAP_0.5_0.95": float(mAP),
+                f"metrics/{task}/fitness": float(fitness_val),
+            }, step=epoch)
+
+    def finalize(self, imgsz: int = 640):
+        """End-of-training artifact upload + model registration
+        (train.py:263-273): results.txt, plots, the best checkpoint with an
+        I/O signature."""
+        if not self.mlflow:
+            return
+        self.mlflow.log_artifact(self.results_file)
+        for png in sorted(Path(self.save_dir).glob("*.png")):
+            self.mlflow.log_artifact(png, "plots")
+        best = self.wdir / "best.ckpt.npz"
+        ckpt = best if best.exists() else self.wdir / "last.ckpt.npz"
+        self.mlflow.log_model(ckpt, signature={
+            "inputs": f"(B, {imgsz}, {imgsz}, 3) float32 RGB in [0, 1]",
+            "outputs": {t: f"(B, N, 4+{nc}) xywh+scores"
+                        for t, nc in zip(self.task_ids, self.nc)},
+        })
+        self.mlflow.finish()

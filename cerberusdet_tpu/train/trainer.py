@@ -61,6 +61,8 @@ class TrainOptions:
     compute_dtype: str = "float32"         # 'bfloat16' on TPU
     loss_weights: Optional[Dict[str, float]] = None
     resume: str = ""                       # path to last.ckpt.npz
+    mlflow_url: str = ""                   # tracking server (reference --mlflow-url)
+    experiment_name: str = "cerberusdet"
 
 
 class TrainLoop:
@@ -71,6 +73,7 @@ class TrainLoop:
         self.manager = RunManager(
             hyp, data_dict, opt.cfg, Path(opt.project) / opt.name,
             exist_ok=opt.exist_ok, nosave=opt.nosave,
+            mlflow_url=opt.mlflow_url, experiment_name=opt.experiment_name,
         )
         self.manager.dump_settings(dataclasses.asdict(opt))
         self.task_ids = self.manager.task_ids
@@ -303,5 +306,6 @@ class TrainLoop:
             fi = self.val_epoch(self.opt.epochs - 1)
             self.manager.best_fitness = max(self.manager.best_fitness, fi)
         dt = time.time() - t0
+        self.manager.finalize(self.opt.imgsz)
         print(f"training done in {dt/3600:.2f}h, best fitness {self.manager.best_fitness:.4f}")
         return self.manager.best_fitness

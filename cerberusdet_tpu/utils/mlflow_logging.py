@@ -87,6 +87,22 @@ class MLFlowLogger:
         if Path(path).exists():
             self._safe(lambda: mlflow.log_param("model_md5", file_md5(path)))
 
+    def log_model(self, ckpt_path, signature: Optional[Dict[str, Any]] = None,
+                  artifact_path: str = "model"):
+        """Register the checkpoint with an I/O signature (the reference logs
+        the torch module + infer_signature from a sample forward,
+        mlflow_logging.py:90-107; here the model is the framework ckpt file
+        and the signature an explicit {inputs, outputs} spec dict)."""
+        if not Path(ckpt_path).exists():
+            return
+        self._safe(lambda: mlflow.log_artifact(str(ckpt_path), artifact_path))
+        if signature:
+            import json
+
+            self._safe(lambda: mlflow.log_param(
+                "model_signature", json.dumps(signature)[:450]))
+        self.log_model_checksum(ckpt_path)
+
     def finish(self):
         self._safe(lambda: mlflow.end_run())
 

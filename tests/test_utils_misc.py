@@ -136,3 +136,27 @@ def test_model_info_flops():
     assert info["params_m"] > 1
     if info["gflops"] is not None:
         assert info["gflops"] > 0.01
+
+
+def test_check_requirements_reports_missing():
+    from cerberusdet_tpu.utils.checks import check_requirements
+
+    assert check_requirements(["numpy", "jax"]) == []
+    assert check_requirements(["numpy", "definitely-not-a-pkg>=1.0"]) == [
+        "definitely-not-a-pkg>=1.0"]
+    # install flag is signature parity only (hermetic TPU image): no raise
+    assert check_requirements(["definitely-not-a-pkg"], install=True)
+
+
+def test_check_git_status_never_raises(tmp_path):
+    from cerberusdet_tpu.utils.checks import check_git_status
+
+    assert check_git_status(str(tmp_path)) is None  # not a repo
+
+
+def test_check_font_and_imshow():
+    from cerberusdet_tpu.utils.checks import check_font, check_imshow
+
+    font = check_font()
+    assert font is None or font.endswith(".ttf")
+    assert isinstance(check_imshow(), bool)

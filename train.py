@@ -44,6 +44,9 @@ def parse_opt(argv=None):
     p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
     p.add_argument("--resume", nargs="?", const="auto", default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mlflow-url", type=str, default="",
+                   help="MLflow tracking server (reference --mlflow-url)")
+    p.add_argument("--experiment-name", type=str, default="cerberusdet")
     p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
                    help="evolve hyperparameters for N generations")
     p.add_argument("--params-to-evolve", type=str, default=None)
@@ -84,6 +87,7 @@ def main(argv=None):
         use_multi_labels=opt_ns.use_multi_labels,
         use_soft_labels=opt_ns.use_soft_labels, cache_images=opt_ns.cache_images,
         seed=opt_ns.seed, resume=resume,
+        mlflow_url=opt_ns.mlflow_url, experiment_name=opt_ns.experiment_name,
         compute_dtype="bfloat16" if opt_ns.bf16 else "float32",
     )
 
