@@ -173,3 +173,26 @@ def test_class_weights(toy_dataset):
     w = labels_to_class_weights(ds.labels, 3)
     assert w.shape == (3,) and abs(w.sum() - 1) < 1e-9
     assert w[2] == w.max()  # rarest class, highest weight
+
+
+def test_host_shard_sampler_partitions_exactly():
+    """Multi-host data sharding (replaces DistributedSamplerWrapper,
+    samplers.py:137-184): 4 hosts' shards are disjoint, cover every index,
+    and stay aligned with the base sampler's seeded epoch shuffle."""
+    from cerberusdet_tpu.data.samplers import HostShardSampler, ShuffleSampler
+
+    n, hosts = 103, 4
+    shards = []
+    for h in range(hosts):
+        base = ShuffleSampler(n, shuffle=True, seed=5)
+        s = HostShardSampler(base, num_hosts=hosts, host_id=h)
+        s.set_epoch(2)
+        shards.append(list(s))
+    all_idx = [i for sh in shards for i in sh]
+    assert sorted(all_idx) == list(range(n))  # disjoint + complete
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+    # same epoch => hosts see a consistent global permutation
+    base = ShuffleSampler(n, shuffle=True, seed=5)
+    base.set_epoch(2)
+    perm = list(base)
+    assert shards[1] == perm[1::hosts]

@@ -25,6 +25,9 @@ def parse_opt(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--project", default="runs/val")
     p.add_argument("--name", default="exp")
+    p.add_argument("--mlflow-url", default="",
+                   help="upload metrics to MLflow (reference val.py:450-455)")
+    p.add_argument("--experiment-name", default="cerberusdet")
     return p.parse_args(argv)
 
 
@@ -119,6 +122,27 @@ def main(argv=None):
         results[task] = out
         mp, mr, map50, mAP = out["results"][:4]
         print(f"{task}: P={mp:.4f} R={mr:.4f} mAP50={map50:.4f} mAP={mAP:.4f}")
+
+    if opt.mlflow_url:
+        # metric upload (reference val.py:384-418): per-task + per-class APs
+        from cerberusdet_tpu.utils.mlflow_logging import MLFlowLogger
+
+        logger = MLFlowLogger(opt.experiment_name, f"val_{opt.name}",
+                              tracking_uri=opt.mlflow_url)
+        for task, out in results.items():
+            mp, mr, map50, mAP = out["results"][:4]
+            metrics = {
+                f"val/{task}/precision": mp, f"val/{task}/recall": mr,
+                f"val/{task}/mAP_0.5": map50, f"val/{task}/mAP_0.5_0.95": mAP,
+                f"val/{task}/fitness": out["fitness"],
+            }
+            m = out["metrics"]
+            for i, c in enumerate(m.ap_class_index):
+                name = data_dict["names"][data_dict["task_ids"].index(task)][c]
+                metrics[f"val/{task}/ap50_{name}".replace(" ", "_")] = (
+                    float(m.class_result(i)[2]))
+            logger.log_metrics(metrics)
+        logger.finish()
     return results
 
 
