@@ -81,7 +81,10 @@ def speed_benchmark(model, params, imgsz: int, batch: int, bf16: bool):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, x)
-        x = img + next(iter(out.values()))[0, 0, 0] * 0.0
+        # consume EVERY head: a carry through one task would let XLA
+        # dead-code-eliminate the other branches (see bench.py)
+        sink = sum(jnp.mean(o).astype(jnp.float32) for o in out.values())
+        x = img + (sink * 0.0).astype(img.dtype)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return {"ms_per_image": dt / batch * 1e3, "images_per_sec": batch / dt}
