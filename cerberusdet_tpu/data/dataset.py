@@ -86,6 +86,7 @@ class DetectionDataset:
         task: str = "task",
         cache_dir: Optional[str] = None,
         seed: int = 0,
+        single_cls: bool = False,
     ):
         self.imgsz = imgsz
         self.seed = seed
@@ -113,6 +114,11 @@ class DetectionDataset:
         self.img_files = [f for f in self.img_files if f in results]
         self.labels = [results[f][0] for f in self.img_files]
         self.shapes = np.array([results[f][1] for f in self.img_files], np.float64)  # (w, h)
+        if single_cls:
+            # train multi-class data as single-class (datasets.py:258-260)
+            for x in self.labels:
+                if len(x):
+                    x[:, 0] = 0
         self.stats = cache.get("stats", (0, len(self.img_files), 0, 0))
         self.n = len(self.img_files)
         self.indices = np.arange(self.n)

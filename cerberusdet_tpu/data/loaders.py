@@ -196,6 +196,7 @@ def create_dataloader(
     cache_dir: Optional[str] = None,
     cache_images: bool = False,
     num_threads: Optional[int] = None,
+    single_cls: bool = False,
 ):
     """Build (dataset, loader) for one task (dataloaders.py:39-93 parity)."""
     dataset = DetectionDataset(
@@ -203,6 +204,7 @@ def create_dataloader(
         pad=pad, batch_size=batch_size, use_xml=use_xml, classnames=classnames,
         multi_label=multi_label, soft_label=soft_label, task=task,
         cache_dir=cache_dir, cache_images=cache_images, seed=seed,
+        single_cls=single_cls,
     )
     if balanced_sampler and augment:
         sampler = BalancedSampler(dataset.labels, class_choice, seed=seed)

@@ -80,11 +80,19 @@ def run_task(
     compute_dtype=jnp.float32,
     verbose: bool = False,
     plots: bool = False,
+    single_cls: bool = False,
+    use_multi_labels: bool = False,
 ) -> Dict[str, Any]:
     """Evaluate one task. Returns dict with results tuple
-    (mp, mr, map50, map, box_l, cls_l, dfl_l), per-class maps, speed, fitness."""
-    metrics = DetMetrics(nc, names)
-    confusion = ConfusionMatrix(nc)
+    (mp, mr, map50, map, box_l, cls_l, dfl_l), per-class maps, speed, fitness.
+
+    `nc` is the MODEL's class count (slices the (B,N,4+nc) prediction); under
+    single_cls the metrics collapse to one class while NMS still sees the
+    real class scores, agnostically (val.py:197,318,339)."""
+    metric_nc = 1 if single_cls else nc
+    metric_names = ["item"] if single_cls else names
+    metrics = DetMetrics(metric_nc, metric_names)
+    confusion = ConfusionMatrix(metric_nc)
     loss_accum = np.zeros(3)
     n_batches = 0
     seen = 0
@@ -101,7 +109,7 @@ def run_task(
         t2 = time.perf_counter()
         dets, counts = non_max_suppression(
             pred, nc=nc, conf_thres=conf_thres, iou_thres=iou_thres,
-            multi_label=True, max_det=max_det,
+            multi_label=True, max_det=max_det, agnostic=single_cls,
         )
         dets = np.asarray(jax.block_until_ready(dets))
         counts = np.asarray(counts)
@@ -121,8 +129,16 @@ def run_task(
             gt_mask = batch["mask"][si]
             gt_cls = batch["cls"][si][gt_mask].astype(np.float32)
             gt_xywhn = batch["bboxes"][si][gt_mask]
+            if single_cls and use_multi_labels and len(gt_xywhn):
+                # multi-label GTs collapse to one class: keep each box once so
+                # it is not counted several times (val.py:285-290)
+                _, uniq = np.unique(gt_xywhn, axis=0, return_index=True)
+                uniq = np.sort(uniq)
+                gt_cls, gt_xywhn = gt_cls[uniq], gt_xywhn[uniq]
             n_det = int(counts[si])
             det = dets[si][:n_det].copy()
+            if single_cls and n_det:
+                det[:, 5] = 0  # predictions are classless (val.py:339-340)
 
             ori_shape = meta["ori_shape"]
             ratio_pad = meta["shapes"][1] if meta.get("shapes") else None
@@ -165,7 +181,7 @@ def run_task(
         # per-class table (val.py:96-105 parity)
         nt = metrics.nt_per_class()
         for i, c in enumerate(metrics.ap_class_index):
-            name = names[c] if c < len(names) else str(c)
+            name = metric_names[c] if c < len(metric_names) else str(c)
             p_c, r_c, ap50_c, ap_c = metrics.class_result(i)
             print(f"  {name:>20s} {int(nt[c]):6d}  P={p_c:.3f} R={r_c:.3f} "
                   f"mAP50={ap50_c:.3f} mAP={ap_c:.3f}")

@@ -59,18 +59,28 @@ class CerberusVisualizer:
         return im
 
     def draw_detections(self, image: np.ndarray, detections: List[Dict],
-                        hide_conf: bool = False) -> np.ndarray:
+                        hide_labels: bool = False, hide_conf: bool = False,
+                        hide_task: bool = True) -> np.ndarray:
         """image: HWC BGR. detections: CerberusDetInference.predict rows.
-        Identical boxes from different tasks get one merged multi-line label
-        (detect.py:28-52 semantics)."""
+        Identical boxes from different tasks get one merged multi-part label;
+        the hide_* switches mirror the reference's create_label
+        (plots.py:81-95, detect.py:134-136 / 28-52)."""
         im = image.copy()
         groups: Dict[tuple, List[Dict]] = {}
         for det in detections:
             groups.setdefault(tuple(det["box"]), []).append(det)
         for box, dets in groups.items():
-            labels = [
-                d["label_name"] if hide_conf else f"{d['label_name']} {d['score']:.2f}"
-                for d in dets
-            ]
-            self.draw_box(im, box, " | ".join(labels), colors(dets[0]["label"], bgr=True))
+            if hide_labels:
+                label = None
+            else:
+                parts = []
+                for d in dets:
+                    p = d["label_name"]
+                    if not hide_conf:
+                        p += f" {d['score']:.2f}"
+                    if not hide_task:
+                        p += f" {d['task']}"
+                    parts.append(p)
+                label = " | ".join(parts)
+            self.draw_box(im, box, label, colors(dets[0]["label"], bgr=True))
         return im

@@ -47,6 +47,8 @@ def parse_data_config(data: Any) -> Dict[str, Any]:
         d["names"] = [d["names"]]
         d["train"] = [d["train"]]
         d["val"] = [d["val"]]
+        if "test" in d:
+            d["test"] = [d["test"]]
         d.setdefault("task_ids", ["detect"])
         if not isinstance(d["task_ids"], list):
             d["task_ids"] = [d["task_ids"]]

@@ -55,6 +55,8 @@ class TrainOptions:
     use_multi_labels: bool = False
     use_soft_labels: bool = False
     cache_images: bool = False
+    single_cls: bool = False               # train multi-class data as one class
+    workers: Optional[int] = None          # loader decode threads (--workers)
     max_labels: int = 300
     plots: bool = True
     seed: int = 0
@@ -70,6 +72,14 @@ class TrainLoop:
                  hyp: Dict[str, Any], use_mesh: bool = False):
         self.opt = opt
         self.hyp = hyp
+        if opt.single_cls:
+            # the model is BUILT with one class per task
+            # (models_manager.py:84-87)
+            data_dict = dict(data_dict)
+            data_dict["nc"] = [1] * len(data_dict["nc"])
+            data_dict["names"] = [
+                n if len(n) == 1 else ["item"] for n in data_dict["names"]
+            ]
         self.manager = RunManager(
             hyp, data_dict, opt.cfg, Path(opt.project) / opt.name,
             exist_ok=opt.exist_ok, nosave=opt.nosave,
@@ -97,7 +107,8 @@ class TrainLoop:
                 classnames=data_dict["names"][ti],
                 multi_label=opt.use_multi_labels, soft_label=opt.use_soft_labels,
                 max_labels=opt.max_labels, task=task, seed=opt.seed,
-                cache_images=opt.cache_images,
+                cache_images=opt.cache_images, single_cls=opt.single_cls,
+                num_threads=opt.workers,
             )
             self.datasets[task] = ds
             self.train_loaders[task] = loader
@@ -107,6 +118,7 @@ class TrainLoop:
                 shuffle=False, use_xml=opt.labels_from_xml,
                 classnames=data_dict["names"][ti],
                 max_labels=opt.max_labels, task=f"{task}_val",
+                single_cls=opt.single_cls, num_threads=opt.workers,
             )
             self.val_loaders[task] = vloader
 
@@ -218,7 +230,10 @@ class TrainLoop:
                 if self.mesh is not None:
                     from cerberusdet_tpu.parallel import pad_batch_to, shard_batch
 
-                    n_dev = self.mesh.devices.size
+                    # divisibility is per-host: local rows over local devices
+                    # (shard_batch assembles the global batch under
+                    # multi-process JAX)
+                    n_dev = jax.local_device_count()
                     bs = b["img"].shape[0]
                     if bs % n_dev:
                         # loss- and BN-neutral padding (img_mask threads

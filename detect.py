@@ -27,7 +27,14 @@ def parse_opt(argv=None):
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--agnostic-nms", action="store_true")
     p.add_argument("--save-crop", action="store_true")
+    p.add_argument("--nosave", action="store_true",
+                   help="do not save annotated images")
+    p.add_argument("--view-img", action="store_true",
+                   help="show results (needs a display; warns and skips on "
+                        "headless TPU hosts)")
+    p.add_argument("--hide-labels", action="store_true")
     p.add_argument("--hide-conf", action="store_true")
+    p.add_argument("--hide-task", action="store_true")
     p.add_argument("--line-thickness", type=int, default=3)
     p.add_argument("--project", default="runs/detect")
     p.add_argument("--name", default="exp")
@@ -90,14 +97,29 @@ def main(argv=None):
     pre = CerberusPreprocessor(img_size=opt.imgsz, stride=inference.stride)
     vis = CerberusVisualizer(line_thickness=opt.line_thickness)
 
+    view_img = opt.view_img
+    if view_img:
+        from cerberusdet_tpu.utils.checks import check_imshow
+
+        if not check_imshow():
+            print("--view-img: no display available, skipping show")
+            view_img = False
+
+    save_img = not opt.nosave  # detect.py:141
     n = 0
     for path, im0 in iter_images(opt.source):
         batch, shapes = pre.preprocess([im0])
         dets = inference.predict(batch, original_shape=shapes,
                                  agnostic_nms=opt.agnostic_nms)[0]
-        annotated = vis.draw_detections(im0, dets, hide_conf=opt.hide_conf)
-        out_path = save_dir / path.name
-        cv2.imwrite(str(out_path), annotated)
+        if save_img or view_img:
+            annotated = vis.draw_detections(
+                im0, dets, hide_labels=opt.hide_labels,
+                hide_conf=opt.hide_conf, hide_task=opt.hide_task)
+            if save_img:
+                cv2.imwrite(str(save_dir / path.name), annotated)
+            if view_img:
+                cv2.imshow(str(path), annotated)
+                cv2.waitKey(1)
         if opt.save_crop:
             crop_dir = save_dir / "crops"
             for j, d in enumerate(dets):

@@ -93,3 +93,63 @@ def test_strip_weights_cli(trained_run):
     strip_weights.main(["--weights", trained_run])
     ckpt = load_checkpoint(trained_run)
     assert ckpt["opt"] is None and ckpt["meta"].get("stripped")
+
+
+@pytest.mark.slow
+def test_train_cli_single_cls(cli_data, tmp_path_factory):
+    """--single-cls builds a 1-class model and trains (train.py:321,
+    models_manager.py:84-87)."""
+    _, data_yaml = cli_data
+    project = str(tmp_path_factory.mktemp("runs_sc"))
+    import train as train_cli
+
+    train_cli.main([
+        "--data", data_yaml, "--cfg", "configs/models/yolov8n.yaml",
+        "--epochs", "1", "--batch-size", "2", "--imgsz", "64",
+        "--project", project, "--name", "exp", "--single-cls",
+        "--workers", "1", "--sync-bn",
+    ])
+    from cerberusdet_tpu.manager.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(str(Path(project) / "exp" / "weights" / "last.ckpt.npz"))
+    assert ckpt["meta"]["nc"] == [1]
+    assert ckpt["meta"]["names"] == [["item"]]
+
+
+def test_train_cli_evolver_flag_dispatch(cli_data, monkeypatch):
+    """--evolver yolov5|<ray searcher> picks the evolver class and prefixes
+    the run name (train.py:363,398-406)."""
+    _, data_yaml = cli_data
+    import train as train_cli
+
+    seen = {}
+
+    class FakeEvolver:
+        def __init__(self, opt, hyp, data_dict, generations=0,
+                     params_to_evolve=None, **kw):
+            seen["cls"] = type(self).__name__
+            seen["name"] = opt.name
+            seen["kw"] = kw
+
+        def run_evolution(self):
+            seen["ran"] = True
+
+    import cerberusdet_tpu.evolve.yolov5_evolver as y5
+    import cerberusdet_tpu.evolve.ray_evolver as ray_ev
+
+    monkeypatch.setattr(y5, "Yolov5Evolver",
+                        type("Yolov5Evolver", (FakeEvolver,), {}))
+    monkeypatch.setattr(ray_ev, "RayEvolver",
+                        type("RayEvolver", (FakeEvolver,), {}))
+
+    train_cli.main(["--data", data_yaml, "--evolve", "2",
+                    "--evolver", "yolov5", "--name", "e1"])
+    assert seen.pop("cls") == "Yolov5Evolver" and seen.pop("ran")
+    assert seen.pop("name") == "yolov5_e1"
+
+    train_cli.main(["--data", data_yaml, "--evolve", "2",
+                    "--evolver", "optuna", "--name", "e2",
+                    "--evolve-per-task"])
+    assert seen.pop("cls") == "RayEvolver" and seen.pop("ran")
+    assert seen.pop("name") == "optuna_e2"
+    assert seen.pop("kw")["searcher"] == "optuna"

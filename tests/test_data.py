@@ -196,3 +196,15 @@ def test_host_shard_sampler_partitions_exactly():
     base.set_epoch(2)
     perm = list(base)
     assert shards[1] == perm[1::hosts]
+
+
+def test_dataset_single_cls(toy_dataset):
+    """--single-cls collapses every label to class 0 (datasets.py:258-260)."""
+    ds = DetectionDataset(toy_dataset, imgsz=128, augment=False,
+                          task="sc", single_cls=True)
+    assert all((lb[:, 0] == 0).all() for lb in ds.labels if len(lb))
+    _, labels, _ = ds[0]
+    assert (labels[:, 0] == 0).all()
+    # the plain dataset still has its original classes (cache not poisoned)
+    ds2 = DetectionDataset(toy_dataset, imgsz=128, augment=False, task="sc")
+    assert any((lb[:, 0] != 0).any() for lb in ds2.labels if len(lb))

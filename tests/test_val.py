@@ -50,3 +50,21 @@ def test_val_loop_smoke(toy_val):
     assert r["seen"] == 8
     assert r["maps"].shape == (2,)
     assert all(s >= 0 for s in r["speed"])
+
+
+def test_val_single_cls(toy_val):
+    """single_cls: agnostic NMS, predictions classless, 1-class metrics
+    (val.py:197,285,318,339 semantics)."""
+    model = CerberusModel("configs/models/yolov8n.yaml", ["t1"], [2])
+    params = model.init(jax.random.PRNGKey(0))
+    _, loader = create_dataloader(toy_val, imgsz=128, batch_size=4,
+                                  augment=False, shuffle=False,
+                                  host_sharded=False, task="t1_sc",
+                                  single_cls=True)
+    out = run_task(model, params, "t1", loader, nc=2, names=["a", "b"],
+                   single_cls=True)
+    m = out["metrics"]
+    # metrics collapse to ONE class even though the model predicts two
+    assert m.nc == 1
+    assert all(c == 0 for c in m.ap_class_index)
+    assert out["seen"] == 8

@@ -40,6 +40,14 @@ def parse_opt(argv=None):
     p.add_argument("--use-multi-labels", action="store_true")
     p.add_argument("--use-soft-labels", action="store_true")
     p.add_argument("--cache-images", action="store_true")
+    p.add_argument("--single-cls", action="store_true",
+                   help="train multi-class data as single-class")
+    p.add_argument("--workers", type=int, default=None,
+                   help="dataloader decode threads (reference --workers)")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="accepted for parity; BatchNorm statistics are "
+                        "globally synchronized by construction under the "
+                        "GSPMD mesh (see parallel/mesh.py)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU)")
     p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
     p.add_argument("--resume", nargs="?", const="auto", default="")
@@ -49,7 +57,16 @@ def parse_opt(argv=None):
     p.add_argument("--experiment-name", type=str, default="cerberusdet")
     p.add_argument("--evolve", type=int, nargs="?", const=300, default=0,
                    help="evolve hyperparameters for N generations")
+    p.add_argument("--evolver", type=str, default="yolov5",
+                   choices=["yolov5", "random", "ax", "optuna", "bohb", "cfo",
+                            "dragonfly", "nevergrad", "skopt", "zoopt"],
+                   help="evolution algorithm (train.py:293; non-yolov5 "
+                        "choices dispatch to the Ray Tune evolver)")
     p.add_argument("--params-to-evolve", type=str, default=None)
+    p.add_argument("--evolve-per-task", action="store_true",
+                   help="accepted for parity (train.py:302; the reference "
+                        "parses but never consumes this flag — per-task "
+                        "evolution is driven by list-valued hyps)")
     return p.parse_args(argv)
 
 
@@ -86,19 +103,31 @@ def main(argv=None):
         labels_from_xml=opt_ns.labels_from_xml,
         use_multi_labels=opt_ns.use_multi_labels,
         use_soft_labels=opt_ns.use_soft_labels, cache_images=opt_ns.cache_images,
+        single_cls=opt_ns.single_cls, workers=opt_ns.workers,
         seed=opt_ns.seed, resume=resume,
         mlflow_url=opt_ns.mlflow_url, experiment_name=opt_ns.experiment_name,
         compute_dtype="bfloat16" if opt_ns.bf16 else "float32",
     )
 
     if opt_ns.evolve:
-        from cerberusdet_tpu.evolve.yolov5_evolver import Yolov5Evolver
+        # evolver dispatch + run-name prefix (train.py:363,398-406)
+        opt.name = f"{opt_ns.evolver}_{opt.name}"
+        params_to_evolve = (opt_ns.params_to_evolve.split(",")
+                            if opt_ns.params_to_evolve else None)
+        if opt_ns.evolver == "yolov5":
+            from cerberusdet_tpu.evolve.yolov5_evolver import Yolov5Evolver
 
-        evolver = Yolov5Evolver(
-            opt, hyp, data_dict, generations=opt_ns.evolve,
-            params_to_evolve=(opt_ns.params_to_evolve.split(",")
-                              if opt_ns.params_to_evolve else None),
-        )
+            evolver = Yolov5Evolver(
+                opt, hyp, data_dict, generations=opt_ns.evolve,
+                params_to_evolve=params_to_evolve,
+            )
+        else:
+            from cerberusdet_tpu.evolve.ray_evolver import RayEvolver
+
+            evolver = RayEvolver(
+                opt, hyp, data_dict, generations=opt_ns.evolve,
+                params_to_evolve=params_to_evolve, searcher=opt_ns.evolver,
+            )
         evolver.run_evolution()
         return
 

@@ -17,14 +17,23 @@ def parse_opt(argv=None):
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
-    p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--task", default="val",
+                   choices=["train", "val", "test", "speed"])
     p.add_argument("--no-rect", action="store_true",
                    help="disable rect (aspect-grouped) batching; the reference "
                         "evaluates with rect=True pad=0.5 (val.py:231-246)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--single-cls", action="store_true",
+                   help="treat as single-class dataset (val.py:285,318,339)")
+    p.add_argument("--labels-from-xml", action="store_true")
+    p.add_argument("--use-multi-labels", action="store_true")
+    p.add_argument("--use-soft-labels", action="store_true")
+    p.add_argument("--workers", type=int, default=None,
+                   help="dataloader decode threads (reference --workers)")
     p.add_argument("--project", default="runs/val")
     p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--mlflow-url", default="",
                    help="upload metrics to MLflow (reference val.py:450-455)")
     p.add_argument("--experiment-name", default="cerberusdet")
@@ -106,7 +115,9 @@ def main(argv=None):
 
     results = {}
     for ti, task in enumerate(data_dict["task_ids"]):
-        split = "val" if opt.task == "val" else "test"
+        # evaluate on the requested split, falling back to val
+        # (reference val.py:226)
+        split = opt.task if opt.task in ("train", "val", "test") else "val"
         path = data_dict.get(split, data_dict["val"])[ti]
         # reference standalone-val protocol: rect=True, pad=0.5
         # (cerberusdet/val.py:231-246) — aspect-grouped batches, one letterbox
@@ -116,11 +127,15 @@ def main(argv=None):
             path, imgsz=opt.imgsz, batch_size=opt.batch_size, augment=False,
             shuffle=False, rect=not opt.no_rect, pad=0.5,
             classnames=data_dict["names"][ti], task=f"{task}_val",
+            use_xml=opt.labels_from_xml, multi_label=opt.use_multi_labels,
+            soft_label=opt.use_soft_labels, single_cls=opt.single_cls,
+            num_threads=opt.workers,
         )
         out = run_task(
             model, params, task, loader, nc=data_dict["nc"][ti],
             names=data_dict["names"][ti], conf_thres=opt.conf_thres,
             iou_thres=opt.iou_thres, max_det=opt.max_det, verbose=True,
+            single_cls=opt.single_cls, use_multi_labels=opt.use_multi_labels,
         )
         results[task] = out
         mp, mr, map50, mAP = out["results"][:4]
