@@ -35,10 +35,25 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = DATA_AXIS):
-    """Shard every array in the batch along its leading (batch) dimension."""
+    """Shard every array in the batch along its leading (batch) dimension.
+
+    Single process: `batch` is the full global batch (device_put scatters it
+    over the mesh). Multi-process (one JAX process per TPU host): `batch` is
+    THIS HOST's rows — the loaders already yield disjoint per-host slices via
+    HostShardSampler — and the global array (global batch = host rows x
+    process_count) is assembled without any cross-host data movement; XLA's
+    collectives see one logical batch. Replaces the reference's
+    DistributedSampler + per-rank DDP batches (samplers.py:137-184)."""
+    nproc = jax.process_count()
+
     def put(x):
         spec = P(axis, *([None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * nproc, *x.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree_util.tree_map(put, batch)
 

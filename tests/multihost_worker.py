@@ -1,0 +1,127 @@
+"""Worker process for the REAL multi-host (multi-process JAX) train-step test.
+
+Each of the two workers owns 4 virtual CPU devices; together they form one
+8-device global mesh (the software shape of a 2-host TPU pod slice). This is
+the executable counterpart of the reference's `torch.distributed.launch` DDP
+world (train.py:376-384): every host feeds only ITS rows of the global batch
+and XLA's collectives (over Gloo here, ICI on real hardware) produce bitwise
+one logical training step.
+
+Run via tests/test_multihost.py, or standalone:
+    python tests/multihost_worker.py <pid> <port> <out.json>
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def make_global_batch(nc: int, seed: int, batch: int, imgsz: int = 64):
+    """Deterministic global batch — workers slice their host's rows from it,
+    the single-process reference run consumes it whole."""
+    import numpy as np
+
+    r = np.random.default_rng(seed)
+    return {
+        "img": r.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32),
+        "cls": r.integers(0, nc, (batch, 4)).astype(np.int32),
+        "bboxes": r.uniform(0.3, 0.5, (batch, 4, 4)).astype(np.float32),
+        "mask": np.ones((batch, 4), bool),
+        "prob": np.ones((batch, 4), np.float32),
+    }
+
+
+def run_step(mesh, global_batch_rows=None):
+    """One 2-task train step on the current mesh. global_batch_rows: slice of
+    rows this process feeds (None = full batch, single-process mode)."""
+    import jax
+    import numpy as np
+
+    from cerberusdet_tpu.models.cerberus import CerberusModel
+    from cerberusdet_tpu.parallel import replicate, shard_batch
+    from cerberusdet_tpu.train.loss import DetectionLoss
+    from cerberusdet_tpu.train.step import MultiTaskTrainer, init_train_state
+
+    model = CerberusModel(
+        str(REPO / "configs/models/yolov8n_2task.yaml"), ["a", "b"], [3, 5]
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    losses = {
+        "a": DetectionLoss(nc=3, strides=model.strides),
+        "b": DetectionLoss(nc=5, strides=model.strides),
+    }
+    trainer = MultiTaskTrainer(model, losses)
+
+    with mesh:
+        state = replicate(init_train_state(params), mesh)
+        batches = {}
+        for t, nc, seed in (("a", 3, 1), ("b", 5, 2)):
+            full = make_global_batch(nc, seed, 8)
+            rows = ({k: v[global_batch_rows] for k, v in full.items()}
+                    if global_batch_rows is not None else full)
+            batches[t] = shard_batch(rows, mesh)
+        lrs = np.full((3,), 0.01, np.float32)
+        state, items = trainer.step(state, batches, lrs, 0.9)
+        out = {t: float(it.total) for t, it in items.items()}
+        out["param_checksum"] = param_checksum(state, mesh)
+    return out
+
+
+def param_checksum(state, mesh):
+    """Order-independent scalar over the updated state (replicated, so it
+    materializes on every host identically)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def ck(s):
+        leaves = [x for x in jax.tree_util.tree_leaves(s)
+                  if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+        return sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves)
+
+    fn = jax.jit(ck, out_shardings=NamedSharding(mesh, P()))
+    return float(fn(state))
+
+
+def main():
+    pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platform_name", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    sys.path.insert(0, str(REPO))
+    import numpy as np
+
+    from cerberusdet_tpu.data.samplers import HostShardSampler, ShuffleSampler
+    from cerberusdet_tpu.parallel import make_mesh
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+    # HostShardSampler picks up the REAL process topology: the two hosts'
+    # index streams partition the dataset disjointly (samplers.py:137-184
+    # parity, here under genuine multi-process JAX)
+    sampler = HostShardSampler(ShuffleSampler(16, shuffle=False))
+    local_idx = list(sampler)
+    assert len(local_idx) == 8 and all(i % 2 == pid for i in local_idx), (
+        pid, local_idx)
+
+    mesh = make_mesh()  # all 8 global devices
+    rows = slice(pid * 4, (pid + 1) * 4)
+    out = run_step(mesh, global_batch_rows=rows)
+    out["process_index"] = pid
+    out["local_indices"] = local_idx
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"worker {pid} OK: {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

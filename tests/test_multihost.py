@@ -1,0 +1,72 @@
+"""REAL multi-host execution: two JAX processes (4 virtual devices each) run
+one multi-task train step over a global 8-device mesh and must agree with
+each other AND with the single-process 8-device run of the same step.
+
+This closes the reference's DDP capability end-to-end (train.py:376-384,
+samplers.py:137-184): until now the multi-process path was only unit-tested
+with faked host ids — here jax.distributed + Gloo collectives actually run.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    port = _free_port()
+    outs = [tmp_path / f"w{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests/multihost_worker.py"),
+             str(i), str(port), str(outs[i])],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append((p.returncode, out, err))
+    for rc, out, err in logs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err[-3000:]}"
+
+    w0, w1 = (json.loads(o.read_text()) for o in outs)
+
+    # the two hosts saw DISJOINT, interleaved dataset shards
+    assert set(w0["local_indices"]) | set(w1["local_indices"]) == set(range(16))
+    assert not set(w0["local_indices"]) & set(w1["local_indices"])
+
+    # both hosts report the identical global step (losses + updated state)
+    for k in ("a", "b", "param_checksum"):
+        assert np.isfinite(w0[k])
+        assert w0[k] == pytest.approx(w1[k], rel=1e-6), k
+
+    # and it matches the single-process 8-device run of the same global batch
+    # (this pytest process IS that run: conftest provisions 8 CPU devices)
+    from cerberusdet_tpu.parallel import make_mesh
+    from tests.multihost_worker import run_step
+
+    ref = run_step(make_mesh())
+    for k in ("a", "b"):
+        assert ref[k] == pytest.approx(w0[k], rel=2e-4), (k, ref[k], w0[k])
+    assert ref["param_checksum"] == pytest.approx(w0["param_checksum"], rel=2e-4)
