@@ -87,6 +87,7 @@ class DetectionDataset:
         cache_dir: Optional[str] = None,
         seed: int = 0,
         single_cls: bool = False,
+        fast_decode: Optional[bool] = None,
     ):
         self.imgsz = imgsz
         self.seed = seed
@@ -153,6 +154,11 @@ class DetectionDataset:
             {} if cache_images else None
         )
         self._pixel_aug = PixelAugment()
+        # Native DCT-scaled JPEG decode (cerberusdet_tpu/native): decodes big
+        # sources near imgsz directly instead of full-res + resize. Default ON
+        # for the augmented train path, OFF for eval (the reference protocol
+        # decodes full-res — keep val bit-comparable); silent cv2 fallback.
+        self.fast_decode = augment if fast_decode is None else fast_decode
 
     def set_epoch(self, epoch: int):
         """Advance the augmentation RNG stream (per-epoch variety while
@@ -167,15 +173,25 @@ class DetectionDataset:
         """Load + resize longest side to imgsz. Returns (im RGB, (h0, w0), (h, w))."""
         if self._im_cache is not None and i in self._im_cache:
             return self._im_cache[i]
-        im = cv2.imread(self.img_files[i])  # BGR
+        im = None
+        h0 = w0 = 0
+        if self.fast_decode:
+            from cerberusdet_tpu.native import imread_scaled
+
+            scaled = imread_scaled(self.img_files[i], self.imgsz)
+            if scaled is not None:
+                im, (h0, w0) = scaled  # RGB, >= target size
         if im is None:
-            raise FileNotFoundError(self.img_files[i])
-        im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
-        h0, w0 = im.shape[:2]
+            im = cv2.imread(self.img_files[i])  # BGR
+            if im is None:
+                raise FileNotFoundError(self.img_files[i])
+            im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+            h0, w0 = im.shape[:2]
         r = self.imgsz / max(h0, w0)
-        if r != 1:
+        target = (int(w0 * r), int(h0 * r)) if r != 1 else (w0, h0)
+        if im.shape[1::-1] != target:
             interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
-            im = cv2.resize(im, (int(w0 * r), int(h0 * r)), interpolation=interp)
+            im = cv2.resize(im, target, interpolation=interp)
         out = (im, (h0, w0), im.shape[:2])
         if self._im_cache is not None:
             self._im_cache[i] = out

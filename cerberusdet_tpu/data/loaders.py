@@ -197,6 +197,7 @@ def create_dataloader(
     cache_images: bool = False,
     num_threads: Optional[int] = None,
     single_cls: bool = False,
+    fast_decode: Optional[bool] = None,
 ):
     """Build (dataset, loader) for one task (dataloaders.py:39-93 parity)."""
     dataset = DetectionDataset(
@@ -204,7 +205,7 @@ def create_dataloader(
         pad=pad, batch_size=batch_size, use_xml=use_xml, classnames=classnames,
         multi_label=multi_label, soft_label=soft_label, task=task,
         cache_dir=cache_dir, cache_images=cache_images, seed=seed,
-        single_cls=single_cls,
+        single_cls=single_cls, fast_decode=fast_decode,
     )
     if balanced_sampler and augment:
         sampler = BalancedSampler(dataset.labels, class_choice, seed=seed)

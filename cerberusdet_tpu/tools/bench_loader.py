@@ -43,15 +43,16 @@ def make_dataset(root: Path, n_images: int, size: int):
     return str(img_dir)
 
 
-def run(imgsz: int, n: int, threads, augment: bool, batch: int = 32):
+def run(imgsz: int, n: int, threads, augment: bool, batch: int = 32,
+        src_size: int = 0, fast_decode=None):
     from cerberusdet_tpu.data.loaders import create_dataloader
 
     with tempfile.TemporaryDirectory() as td:
-        path = make_dataset(Path(td), min(n, 128), imgsz)
+        path = make_dataset(Path(td), min(n, 128), src_size or imgsz)
         _, loader = create_dataloader(
             path, imgsz=imgsz, batch_size=batch, augment=augment,
             hyp=AUG_HYP if augment else None, task="bench", seed=0,
-            host_sharded=False, num_threads=threads)
+            host_sharded=False, num_threads=threads, fast_decode=fast_decode)
         it = iter(loader)
         next(it)  # warm the pipeline (thread pool spin-up, cv2 init)
         seen = 0
@@ -74,13 +75,24 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=256)
     p.add_argument("--threads", type=int, default=None)
     p.add_argument("--no-aug", action="store_true")
+    p.add_argument("--src-size", type=int, default=0,
+                   help="source JPEG long side (default: imgsz); set larger "
+                        "(e.g. 1920) to exercise the native DCT-scaled decode")
+    p.add_argument("--fast-decode", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="native DCT-scaled JPEG decode: auto = dataset "
+                        "default (on when augmenting), on/off = force")
     args = p.parse_args(argv)
-    rate = run(args.imgsz, args.n, args.threads, not args.no_aug)
+    fast = {"auto": None, "on": True, "off": False}[args.fast_decode]
+    rate = run(args.imgsz, args.n, args.threads, not args.no_aug,
+               src_size=args.src_size, fast_decode=fast)
     print(json.dumps({
         "imgs_per_sec": round(rate, 1),
         "threads": args.threads or "auto",
         "augment": not args.no_aug,
         "imgsz": args.imgsz,
+        "src_size": args.src_size or args.imgsz,
+        "fast_decode": args.fast_decode,
     }))
     return rate
 
