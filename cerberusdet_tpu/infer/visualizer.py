@@ -40,16 +40,21 @@ colors = Colors()
 
 class CerberusVisualizer:
     def __init__(self, line_thickness: int = 3, text_scale: float = 0.6):
+        # 0 = auto: scale with image size per box (plots.py:100)
         self.lw = line_thickness
         self.ts = text_scale
 
+    def _lw(self, im: np.ndarray) -> int:
+        return self.lw or max(round(sum(im.shape) / 2 * 0.003), 2)
+
     def draw_box(self, im: np.ndarray, box: Sequence[float], label: str = "",
                  color: Tuple[int, int, int] = (128, 128, 128)) -> np.ndarray:
+        lw = self._lw(im)
         p1 = (int(box[0]), int(box[1]))
         p2 = (int(box[2]), int(box[3]))
-        cv2.rectangle(im, p1, p2, color, self.lw, cv2.LINE_AA)
+        cv2.rectangle(im, p1, p2, color, lw, cv2.LINE_AA)
         if label:
-            tf = max(self.lw - 1, 1)
+            tf = max(lw - 1, 1)
             wh, _ = cv2.getTextSize(label, 0, self.ts, tf)
             outside = p1[1] - wh[1] - 3 >= 0
             p2t = (p1[0] + wh[0], p1[1] - wh[1] - 3 if outside else p1[1] + wh[1] + 3)

@@ -35,11 +35,14 @@ def parse_opt(argv=None):
     p.add_argument("--hide-labels", action="store_true")
     p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--hide-task", action="store_true")
-    p.add_argument("--line-thickness", type=int, default=3)
+    p.add_argument("--line-thickness", type=int, default=0,
+                   help="box thickness in px; 0 = auto from image size "
+                        "(detect.py:253)")
     p.add_argument("--project", default="runs/detect")
     p.add_argument("--name", default="exp")
     p.add_argument("--exist-ok", action="store_true")
-    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--bf16", "--half", action="store_true", dest="bf16",
+                   help="half precision = bfloat16 on TPU (reference --half)")
     return p.parse_args(argv)
 
 

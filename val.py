@@ -22,7 +22,8 @@ def parse_opt(argv=None):
     p.add_argument("--no-rect", action="store_true",
                    help="disable rect (aspect-grouped) batching; the reference "
                         "evaluates with rect=True pad=0.5 (val.py:231-246)")
-    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--bf16", "--half", action="store_true", dest="bf16",
+                   help="half precision = bfloat16 on TPU (reference --half)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--single-cls", action="store_true",
                    help="treat as single-class dataset (val.py:285,318,339)")
