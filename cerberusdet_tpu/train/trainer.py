@@ -119,6 +119,9 @@ class TrainLoop:
                 classnames=data_dict["names"][ti],
                 max_labels=opt.max_labels, task=f"{task}_val",
                 single_cls=opt.single_cls, num_threads=opt.workers,
+                # process 0 validates the FULL set (reference rank-0 val);
+                # other hosts never iterate this loader
+                host_sharded=False,
             )
             self.val_loaders[task] = vloader
 
@@ -196,7 +199,8 @@ class TrainLoop:
         momentum_h = float(get_hyperparameter(self.hyp, "momentum"))
         mloss: Dict[str, Any] = {t: None for t in self.task_ids}
         counts = {t: 0 for t in self.task_ids}
-        if epoch == self.start_epoch and opt.plots and not opt.nosave:
+        is_main = jax.process_index() == 0
+        if epoch == self.start_epoch and opt.plots and not opt.nosave and is_main:
             from cerberusdet_tpu.utils.plots import plot_labels
 
             for ti, t in enumerate(self.task_ids):
@@ -221,7 +225,7 @@ class TrainLoop:
             for t in active:
                 b = next(iters[t])
                 if (epoch == self.start_epoch and i < 3 and opt.plots
-                        and not opt.nosave):
+                        and not opt.nosave and is_main):
                     from cerberusdet_tpu.utils.plots import plot_images
 
                     plot_images(b, self.manager.save_dir / f"train_batch_{t}_{i}.png",
@@ -260,7 +264,8 @@ class TrainLoop:
         losses_str = "  ".join(
             f"{t}: box {out[t][0]:.3f} cls {out[t][1]:.3f} dfl {out[t][2]:.3f}"
             for t in self.task_ids)
-        print(f"epoch {epoch + 1}/{self.opt.epochs}  {losses_str}")
+        if is_main:
+            print(f"epoch {epoch + 1}/{self.opt.epochs}  {losses_str}")
         return out
 
     # ------------------------------------------------------------------
@@ -300,27 +305,55 @@ class TrainLoop:
 
     # ------------------------------------------------------------------
     def train(self) -> float:
-        """Full loop; returns final best fitness."""
+        """Full loop; returns final best fitness.
+
+        Multi-host (multi-process JAX): every host runs the identical jitted
+        train step (the collectives need all of them), but validation,
+        checkpoints, logs and plots belong to process 0 only — the reference's
+        `RANK in [-1, 0]` gates (train.py:217-226). Unlike the reference,
+        process 0's stop/fitness decision is BROADCAST so every host leaves
+        the epoch loop together (the reference's rank-0-only `break` strands
+        the other ranks at the next all-reduce)."""
         t0 = time.time()
         fi = 0.0
+        is_main = jax.process_index() == 0
         for epoch in range(self.start_epoch, self.opt.epochs):
             mloss = self.train_epoch(epoch)
-            for t in self.task_ids:
-                self.manager.train_log(t, getattr(self, "_last_lrs", [0, 0, 0]),
-                                       mloss[t], epoch)
-            if not self.opt.noval:
-                final = epoch == self.opt.epochs - 1
-                fi = self.val_epoch(epoch, plots=final and self.opt.plots)
-            is_best = fi >= self.manager.best_fitness
-            if is_best:
-                self.manager.best_fitness = fi
-            self.manager.save_model(self.state, epoch, is_best)
-            if self.stopper(epoch, fi):
+            stop = False
+            if is_main:
+                for t in self.task_ids:
+                    self.manager.train_log(t, getattr(self, "_last_lrs", [0, 0, 0]),
+                                           mloss[t], epoch)
+                if not self.opt.noval:
+                    final = epoch == self.opt.epochs - 1
+                    fi = self.val_epoch(epoch, plots=final and self.opt.plots)
+                is_best = fi >= self.manager.best_fitness
+                if is_best:
+                    self.manager.best_fitness = fi
+                self.manager.save_model(self.state, epoch, is_best)
+                stop = self.stopper(epoch, fi)
+            stop, fi = self._broadcast_decision(stop, fi)
+            if stop:
                 break
-        if self.opt.noval:  # evolve mode evaluates once at the end
+        if self.opt.noval and is_main:  # evolve mode evaluates once at the end
             fi = self.val_epoch(self.opt.epochs - 1)
             self.manager.best_fitness = max(self.manager.best_fitness, fi)
+        _, fi = self._broadcast_decision(False, fi)
         dt = time.time() - t0
-        self.manager.finalize(self.opt.imgsz)
-        print(f"training done in {dt/3600:.2f}h, best fitness {self.manager.best_fitness:.4f}")
-        return self.manager.best_fitness
+        if is_main:
+            self.manager.finalize(self.opt.imgsz)
+            print(f"training done in {dt/3600:.2f}h, "
+                  f"best fitness {self.manager.best_fitness:.4f}")
+        return self.manager.best_fitness if is_main else fi
+
+    @staticmethod
+    def _broadcast_decision(stop: bool, fitness: float):
+        """Share process 0's (stop, fitness) with every host; no-op when
+        single-process."""
+        if jax.process_count() == 1:
+            return stop, fitness
+        from jax.experimental import multihost_utils
+
+        arr = multihost_utils.broadcast_one_to_all(
+            np.array([float(stop), float(fitness)], np.float32))
+        return bool(arr[0] > 0.5), float(arr[1])

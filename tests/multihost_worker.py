@@ -86,8 +86,66 @@ def param_checksum(state, mesh):
     return float(fn(state))
 
 
+def run_trainloop(pid: int, out_path: str):
+    """Full TrainLoop for 2 epochs under 2-process JAX: host-sharded train
+    loaders, process-0-only val/ckpt/logs, broadcast stop/fitness. Each host
+    generates the identical tiny dataset (seeded) in its own tmp dir — the
+    file-level twin of every host mounting the same dataset."""
+    import tempfile
+
+    import cv2
+    import jax
+    import numpy as np
+    import yaml
+
+    from cerberusdet_tpu.train.trainer import TrainLoop, TrainOptions
+
+    tmp = Path(tempfile.mkdtemp(prefix=f"mh{pid}_"))
+    rng = np.random.default_rng(7)
+    for split in ("train", "val"):
+        (tmp / "images" / split).mkdir(parents=True)
+        (tmp / "labels" / split).mkdir(parents=True)
+        for i in range(8):
+            cv2.imwrite(str(tmp / "images" / split / f"{i}.jpg"),
+                        rng.integers(0, 255, (96, 96, 3), np.uint8))
+            (tmp / "labels" / split / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4")
+    data = {
+        "train": [str(tmp / "images" / "train")],
+        "val": [str(tmp / "images" / "val")],
+        "nc": [2], "names": [["a", "b"]], "task_ids": ["t1"],
+    }
+    (tmp / "data.yaml").write_text(yaml.safe_dump(data))
+
+    opt = TrainOptions(
+        cfg=str(REPO / "configs/models/yolov8n.yaml"),
+        data=str(tmp / "data.yaml"), epochs=2, batch_size=4, imgsz=64,
+        project=str(tmp / "runs"), name="mh", patience=5, plots=False,
+    )
+    import cerberusdet_tpu.manager.run_manager as rm
+
+    with open(REPO / "configs/hyps/hyp.cerber-default.yaml") as f:
+        hyp = yaml.safe_load(f)
+    loop = TrainLoop(opt, rm.parse_data_config(opt.data), hyp, use_mesh=True)
+    fi = loop.train()
+
+    ckpt = Path(opt.project) / "mh" / "weights" / "last.ckpt.npz"
+    from cerberusdet_tpu.parallel import make_mesh
+
+    out = {
+        "process_index": pid,
+        "fitness": float(fi),
+        "ckpt_written": ckpt.exists(),
+        "param_checksum": param_checksum(loop.state, make_mesh()),
+        "train_batches_per_epoch": loop.nb,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"trainloop worker {pid} OK: {out}", flush=True)
+
+
 def main():
     pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "step"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
@@ -97,6 +155,9 @@ def main():
     jax.distributed.initialize(f"localhost:{port}", num_processes=2,
                                process_id=pid)
     sys.path.insert(0, str(REPO))
+    if mode == "trainloop":
+        run_trainloop(pid, out_path)
+        return
     import numpy as np
 
     from cerberusdet_tpu.data.samplers import HostShardSampler, ShuffleSampler

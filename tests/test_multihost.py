@@ -70,3 +70,43 @@ def test_two_process_train_step(tmp_path):
     for k in ("a", "b"):
         assert ref[k] == pytest.approx(w0[k], rel=2e-4), (k, ref[k], w0[k])
     assert ref["param_checksum"] == pytest.approx(w0["param_checksum"], rel=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_full_trainloop(tmp_path):
+    """The FULL TrainLoop across 2 processes: host-sharded train loaders,
+    process-0-only val/checkpoints, broadcast stop/fitness; final params
+    identical on both hosts."""
+    port = _free_port()
+    outs = [tmp_path / f"t{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests/multihost_worker.py"),
+             str(i), str(port), str(outs[i]), "trainloop"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append((p.returncode, out, err))
+    for rc, out, err in logs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err[-3000:]}"
+
+    w0, w1 = (json.loads(o.read_text()) for o in outs)
+    # each host's loader sees its half: 8 imgs / bs 4 = 2 global batches,
+    # 1 per host -> nb is the HOST-LOCAL batch count
+    assert w0["train_batches_per_epoch"] == w1["train_batches_per_epoch"]
+    # only process 0 wrote checkpoints
+    assert w0["ckpt_written"] and not w1["ckpt_written"]
+    # broadcast fitness agrees; final replicated params identical
+    assert w0["fitness"] == pytest.approx(w1["fitness"], abs=1e-6)
+    assert np.isfinite(w0["param_checksum"])
+    assert w0["param_checksum"] == pytest.approx(w1["param_checksum"], rel=1e-6)
