@@ -5,3 +5,8 @@ from cerberusdet_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_task_batches,
 )
+from cerberusdet_tpu.parallel.spatial import (  # noqa: F401
+    check_spatial_shape,
+    make_spatial_forward,
+    make_spatial_mesh,
+)
