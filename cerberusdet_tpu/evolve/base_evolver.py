@@ -62,6 +62,48 @@ class BaseEvolver:
         self.save_dir = Path(opt.project) / opt.name
         self.file_logger = FileLogger(self.save_dir)
         self.ckpt_logger = CheckpointLogger(self.save_dir)
+        # per-generation run logging + final best-run artifact sync
+        # (base_evolver.py:134-223); gated no-op without mlflow/--mlflow-url
+        self.mlflow_url = getattr(opt, "mlflow_url", "") or ""
+
+    # ------------------------------------------------------------- mlflow
+    def log_generation_to_mlflow(self, gen: int, hyp: Dict[str, Any],
+                                 results_per_task: Dict[str, tuple]) -> None:
+        """One MLflow run per mutation: evolved hyps as params, per-task
+        (P, R, mAP50, mAP) + overall fitness as metrics."""
+        if not self.mlflow_url:
+            return
+        from cerberusdet_tpu.evaluation.metrics import overall_fitness
+        from cerberusdet_tpu.utils.mlflow_logging import MLFlowLogger
+
+        logger = MLFlowLogger(self.opt.experiment_name,
+                              f"{self.opt.name}_gen{gen}",
+                              tracking_uri=self.mlflow_url)
+        logger.log_params({k: hyp[k] for k in self.params_to_evolve if k in hyp})
+        metrics = {"overall_fitness": float(overall_fitness(results_per_task))}
+        for task, (p, r, map50, mAP) in results_per_task.items():
+            metrics.update({
+                f"{task}/precision": float(p), f"{task}/recall": float(r),
+                f"{task}/mAP_0.5": float(map50), f"{task}/mAP_0.5_0.95": float(mAP),
+            })
+        logger.log_metrics(metrics)
+        logger.finish()
+
+    def sync_final_artifacts_to_mlflow(self) -> None:
+        """After the last generation: attach evolve.json / hyp_evolved.yaml /
+        evolve.png to a summary run (_update_best_run_artifacts parity)."""
+        if not self.mlflow_url:
+            return
+        from cerberusdet_tpu.utils.mlflow_logging import MLFlowLogger
+
+        logger = MLFlowLogger(self.opt.experiment_name,
+                              f"{self.opt.name}_final",
+                              tracking_uri=self.mlflow_url)
+        for name in ("evolve.json", "hyp_evolved.yaml", "evolve.png"):
+            p = self.save_dir / name
+            if p.exists():
+                logger.log_artifact(p, artifact_path="final_output")
+        logger.finish()
 
     # ------------------------------------------------------------------
     def train_once(self, hyp: Dict[str, Any]) -> Dict[str, tuple]:

@@ -32,6 +32,7 @@ class Yolov5Evolver(BaseEvolver):
             results_per_task = self.train_once(hyp)
             self.file_logger.append_mutation_to_file(
                 copy.deepcopy(hyp), results_per_task, self.opt.epochs, gen)
+            self.log_generation_to_mlflow(gen, hyp, results_per_task)
             if self.file_logger.is_last_mutation_best():
                 self.ckpt_logger.update_best_model()
             else:
@@ -39,6 +40,7 @@ class Yolov5Evolver(BaseEvolver):
             print(f"evolve {gen + 1}/{self.generations}: fitness "
                   f"{overall_fitness(results_per_task):.5f}")
         self.plot_evolution()
+        self.sync_final_artifacts_to_mlflow()
 
     # ------------------------------------------------------------------
     def get_next_hyp(self, hyp: Dict[str, Any]) -> Dict[str, Any]:

@@ -222,3 +222,35 @@ def test_ray_evolver_searcher_registry(monkeypatch, tmp_path):
                         lambda h: {"t": (0, 0, 0.1, 0.1, 0, 0, 0)})
     ev.run_evolution()
     assert record["max_concurrent"] == 2
+
+
+def test_evolver_mlflow_generation_logging(stub_mlflow, tmp_path, monkeypatch):
+    """The genetic evolver logs one MLflow run per generation (evolved hyps
+    as params, fitness metrics) and syncs final artifacts
+    (base_evolver.py:134-223 parity)."""
+    import types as _t
+
+    from cerberusdet_tpu.evolve.base_evolver import BaseEvolver
+
+    opt = _t.SimpleNamespace(project=str(tmp_path), name="evo", epochs=1,
+                             mlflow_url="http://mlflow:5000",
+                             experiment_name="exp_evo")
+    ev = BaseEvolver(opt, {"lr0": 0.01, "box": 0.05}, 
+                     {"task_ids": ["t1"]}, generations=1,
+                     params_to_evolve=["lr0", "box"])
+    ev.log_generation_to_mlflow(
+        3, {"lr0": 0.02, "box": 0.06, "mosaic": 1.0},
+        {"t1": (0.5, 0.6, 0.7, 0.4)})
+    (_, (params,), _), = stub_mlflow.named("log_params")
+    assert set(params) == {"lr0", "box"}  # only evolved params
+    metrics = {}
+    for _, (m,), _kw in stub_mlflow.named("log_metrics"):
+        metrics.update(m)
+    assert metrics["overall_fitness"] == pytest.approx(0.1 * 0.7 + 0.9 * 0.4)
+    assert metrics["t1/mAP_0.5"] == pytest.approx(0.7)
+
+    (tmp_path / "evo").mkdir(exist_ok=True)
+    (tmp_path / "evo" / "evolve.json").write_text("[]")
+    ev.sync_final_artifacts_to_mlflow()
+    arts = stub_mlflow.named("log_artifact")
+    assert any("evolve.json" in str(a[1][0]) for a in arts)
