@@ -89,6 +89,8 @@ class RayEvolver(BaseEvolver):
 
         hyp0 = copy.deepcopy(self.init_hyp)
 
+        gen_counter = {"n": 0}
+
         def objective(config):
             from ray.air import session
 
@@ -96,6 +98,19 @@ class RayEvolver(BaseEvolver):
             hyp.update(reformat_config(config, self.task_ids))
             results = self.train_once(hyp)
             from cerberusdet_tpu.evaluation.metrics import overall_fitness
+
+            # trial bookkeeping like the reference's LoggerCallback
+            # (ray_evolver.py:166-193): evolve.json mutation log, ckpt
+            # promotion, per-trial MLflow run
+            gen = gen_counter["n"]
+            gen_counter["n"] += 1
+            self.file_logger.append_mutation_to_file(
+                copy.deepcopy(hyp), results, self.opt.epochs, gen)
+            if self.file_logger.is_last_mutation_best():
+                self.ckpt_logger.update_best_model()
+            else:
+                self.ckpt_logger.remove_last_model()
+            self.log_generation_to_mlflow(gen, hyp, results)
 
             session.report({"overall_fitness": overall_fitness(results)})
 
@@ -118,3 +133,5 @@ class RayEvolver(BaseEvolver):
             ),
         )
         tuner.fit()
+        self.plot_evolution()
+        self.sync_final_artifacts_to_mlflow()

@@ -182,7 +182,7 @@ def test_ray_evolver_tune_path(monkeypatch, tmp_path):
     data = {"task_ids": ["voc", "animals"], "nc": [2, 3],
             "names": [["a", "b"], ["c", "d", "e"]],
             "train": ["x", "y"], "val": ["x", "y"]}
-    opt = types.SimpleNamespace(project=str(tmp_path), name="evo")
+    opt = types.SimpleNamespace(project=str(tmp_path), name="evo", epochs=1)
     ev = RayEvolver(opt, hyp, data, generations=3, searcher="random")
 
     # fake fitness that prefers higher lr0 on task voc
@@ -198,6 +198,9 @@ def test_ray_evolver_tune_path(monkeypatch, tmp_path):
     assert any(k.endswith("_animals") for k in record["configs"][0])
     assert record["scheduler"] == {"metric": "overall_fitness", "mode": "max"}
     assert all(np.isfinite(r["overall_fitness"]) for r in record["reports"])
+    # every trial also lands in the evolve.json mutation log
+    # (reference LoggerCallback.on_trial_result parity)
+    assert len(ev.file_logger.read_mutations()) == 3
 
 
 def test_ray_evolver_searcher_registry(monkeypatch, tmp_path):
@@ -208,7 +211,7 @@ def test_ray_evolver_searcher_registry(monkeypatch, tmp_path):
     hyp = yaml.safe_load(open("configs/hyps/hyp.cerber-default.yaml"))
     data = {"task_ids": ["t"], "nc": [2], "names": [["a", "b"]],
             "train": ["x"], "val": ["x"]}
-    opt = types.SimpleNamespace(project=str(tmp_path), name="evo")
+    opt = types.SimpleNamespace(project=str(tmp_path), name="evo", epochs=1)
     with pytest.raises(ValueError):
         RayEvolver(opt, hyp, data, generations=1, searcher="nonsense")
 
