@@ -82,6 +82,7 @@ def run_task(
     plots: bool = False,
     single_cls: bool = False,
     use_multi_labels: bool = False,
+    plots_dir=None,
 ) -> Dict[str, Any]:
     """Evaluate one task. Returns dict with results tuple
     (mp, mr, map50, map, box_l, cls_l, dfl_l), per-class maps, speed, fitness.
@@ -100,7 +101,9 @@ def run_task(
 
     forward = _eval_forward(model, task, compute_dtype)
 
+    batch_i = -1
     for batch in loader:
+        batch_i += 1
         t0 = time.perf_counter()
         img = jnp.asarray(batch["img"]).astype(jnp.float32) / 255.0
         t1 = time.perf_counter()
@@ -115,6 +118,16 @@ def run_task(
         counts = np.asarray(counts)
         t3 = time.perf_counter()
         dt += (t1 - t0, t2 - t1, t3 - t2)
+
+        if plots_dir is not None and batch_i < 3:
+            # first-batches label/pred mosaics (val.py:73-83)
+            from cerberusdet_tpu.utils.plots import plot_images, plot_val_images
+
+            plot_images(batch, f"{plots_dir}/val_batch{batch_i}_labels_{task}.jpg",
+                        names=metric_names)
+            plot_val_images(batch, dets, counts,
+                            f"{plots_dir}/val_batch{batch_i}_pred_{task}.jpg",
+                            names=metric_names)
 
         if compute_loss is not None:
             _, items = compute_loss(feats, {k: jnp.asarray(v) for k, v in batch.items()

@@ -279,6 +279,8 @@ class TrainLoop:
                 self.model, ema_params, task, self.val_loaders[task],
                 nc=self.manager.nc[ti], names=self.manager.names[ti],
                 compute_loss=self.losses[task], plots=plots,
+                plots_dir=(self.manager.save_dir if plots and not self.opt.nosave
+                           else None),
             )
             results_per_task[task] = out["results"][:4]
             self.manager.val_log(task, out["results"], epoch, out["fitness"])

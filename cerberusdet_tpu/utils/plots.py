@@ -161,3 +161,35 @@ def feature_visualization(x, module_name: str, save_dir, n: int = 32):
     Path(save_dir).mkdir(parents=True, exist_ok=True)
     fig.savefig(Path(save_dir) / f"features_{module_name}.png", dpi=150)
     plt.close(fig)
+
+
+def plot_val_images(batch: Dict, dets: np.ndarray, counts: np.ndarray, fname,
+                    names: Optional[Sequence[str]] = None,
+                    conf_thres: float = 0.25, max_images: int = 16,
+                    max_size: int = 1920):
+    """Grid of val images with PREDICTED boxes (val.py:73-83 pred mosaics).
+    dets: (B, max_det, 6) xyxy-pixel rows from non_max_suppression."""
+    import cv2
+
+    imgs = np.asarray(batch["img"])[:max_images]
+    if imgs.dtype != np.uint8:
+        imgs = (imgs * 255).astype(np.uint8)
+    b, h, w, _ = imgs.shape
+    ns = int(np.ceil(b ** 0.5))
+    mosaic = np.full((ns * h, ns * w, 3), 255, np.uint8)
+    vis = CerberusVisualizer(line_thickness=2, text_scale=0.4)
+    for i in range(b):
+        r, c = divmod(i, ns)
+        tile = imgs[i].copy()
+        for det in np.asarray(dets[i])[: int(counts[i])]:
+            if det[4] < conf_thres:
+                continue
+            cl = int(det[5])
+            label = (names[cl] if names and cl < len(names) else str(cl))
+            vis.draw_box(tile, det[:4], f"{label} {det[4]:.2f}",
+                         colors(cl, bgr=True))
+        mosaic[r * h:(r + 1) * h, c * w:(c + 1) * w] = tile
+    scale = min(1.0, max_size / (ns * max(h, w)))
+    if scale < 1:
+        mosaic = cv2.resize(mosaic, None, fx=scale, fy=scale)
+    cv2.imwrite(str(fname), mosaic[..., ::-1])

@@ -109,6 +109,13 @@ def main(argv=None):
     data_dict = parse_data_config(opt.data)
     model, params = load_model_for_eval(opt.weights, opt.cfg, data_dict)
 
+    from pathlib import Path
+
+    from cerberusdet_tpu.manager.run_manager import increment_path
+
+    save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
     if opt.task == "speed":
         out = speed_benchmark(model, params, opt.imgsz, opt.batch_size, opt.bf16)
         print(json.dumps(out))
@@ -137,10 +144,25 @@ def main(argv=None):
             names=data_dict["names"][ti], conf_thres=opt.conf_thres,
             iou_thres=opt.iou_thres, max_det=opt.max_det, verbose=True,
             single_cls=opt.single_cls, use_multi_labels=opt.use_multi_labels,
+            plots=True, plots_dir=save_dir,
         )
         results[task] = out
         mp, mr, map50, mAP = out["results"][:4]
         print(f"{task}: P={mp:.4f} R={mr:.4f} mAP50={map50:.4f} mAP={mAP:.4f}")
+        # PR curve + confusion matrix artifacts (reference val.py plots)
+        from cerberusdet_tpu.utils.plots import (
+            plot_confusion_matrix,
+            plot_pr_curve,
+        )
+
+        names = (["item"] if opt.single_cls else list(data_dict["names"][ti]))
+        m = out["metrics"]
+        if getattr(m, "_results", None):
+            _, _, p, r, f1, ap, classes, p_curve, r_curve, px = m._results
+            plot_pr_curve(px, p_curve, ap, save_dir / f"{task}_PR_curve.png",
+                          names)
+        plot_confusion_matrix(out["confusion"].matrix, names,
+                              save_dir / f"{task}_confusion_matrix.png")
 
     if opt.mlflow_url:
         # metric upload (reference val.py:384-418): per-task + per-class APs
