@@ -26,6 +26,33 @@ import numpy as np
 from cerberusdet_tpu.data.dataset import DetectionDataset
 from cerberusdet_tpu.data.samplers import BalancedSampler, HostShardSampler, ShuffleSampler
 
+# ------------------------------------------------------- process workers
+# The reference scales decode/augment with torch DataLoader worker PROCESSES
+# (dataloaders.py:96-112). The default here is a thread pool (cv2 and the
+# native decoder drop the GIL), but the python-level mosaic/label work can
+# GIL-cap a many-core host — num_workers > 0 switches to a process pool.
+# Each worker holds its own dataset replica (sent once at pool start);
+# samples stay deterministic because augmentation RNG is a pure function of
+# (seed, epoch, index), which travels WITH each request — worker scheduling
+# cannot perturb results.
+_WORKER_DS: Optional[DetectionDataset] = None
+
+
+def _init_worker(dataset: DetectionDataset) -> None:
+    global _WORKER_DS
+    _WORKER_DS = dataset
+    try:  # cv2 threads x worker processes oversubscribe; 1 thread per worker
+        import cv2
+
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+
+
+def _worker_getitem(epoch: int, index: int):
+    _WORKER_DS.epoch = epoch
+    return _WORKER_DS[index]
+
 
 def collate(samples: List[tuple], max_labels: int = 300) -> Dict[str, Any]:
     """[(img, labels (n,6), meta)] -> dense batch dict.
@@ -57,7 +84,8 @@ class DataLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int, sampler=None,
                  max_labels: int = 300, drop_last: bool = True,
-                 prefetch: int = 3, num_threads: Optional[int] = None):
+                 prefetch: int = 3, num_threads: Optional[int] = None,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler if sampler is not None else ShuffleSampler(len(dataset), False)
@@ -67,12 +95,43 @@ class DataLoader:
         if num_threads is None:
             num_threads = min(8, os.cpu_count() or 1)
         self.num_threads = max(num_threads, 1)
+        self.num_workers = max(num_workers, 0)  # >0: process pool
+        self._pool = None
 
     def set_epoch(self, epoch: int):
         if hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
+
+    def _process_pool(self):
+        """Lazy worker-process pool; the dataset replica ships once per
+        worker at pool start. RAM image caches are dropped from the shipped
+        copy (each worker would duplicate them)."""
+        if self._pool is None:
+            from concurrent.futures import ProcessPoolExecutor
+
+            ds = self.dataset
+            if getattr(ds, "_im_cache", None):
+                import copy
+
+                ds = copy.copy(ds)
+                ds._im_cache = None
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                initializer=_init_worker, initargs=(ds,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.sampler)
@@ -100,14 +159,25 @@ class DataLoader:
         def worker():
             # Items fetched on a pool (decode/augment drop the GIL in cv2);
             # executor.map preserves sample order, so batches are identical
-            # to the sequential path.
+            # to the sequential path. num_workers > 0 swaps in a process
+            # pool (kept alive across epochs) for GIL-free python work.
             try:
-                with ThreadPoolExecutor(self.num_threads) as pool:
+                if self.num_workers:
+                    pool = self._process_pool()
+                    epoch = getattr(self.dataset, "epoch", 0)
                     for idxs in self._batches():
                         if cancel.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, idxs))
+                        samples = list(pool.map(_worker_getitem,
+                                                [epoch] * len(idxs), idxs))
                         q.put(collate(samples, self.max_labels))
+                else:
+                    with ThreadPoolExecutor(self.num_threads) as pool:
+                        for idxs in self._batches():
+                            if cancel.is_set():
+                                return
+                            samples = list(pool.map(self.dataset.__getitem__, idxs))
+                            q.put(collate(samples, self.max_labels))
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)
             finally:
@@ -198,6 +268,7 @@ def create_dataloader(
     num_threads: Optional[int] = None,
     single_cls: bool = False,
     fast_decode: Optional[bool] = None,
+    num_workers: int = 0,
 ):
     """Build (dataset, loader) for one task (dataloaders.py:39-93 parity)."""
     dataset = DetectionDataset(
@@ -216,5 +287,6 @@ def create_dataloader(
     if host_sharded and jax.process_count() > 1:
         sampler = HostShardSampler(sampler)
     loader = DataLoader(dataset, batch_size, sampler, max_labels=max_labels,
-                        drop_last=augment, num_threads=num_threads)
+                        drop_last=augment, num_threads=num_threads,
+                        num_workers=num_workers)
     return dataset, loader

@@ -347,7 +347,10 @@ class Detect(Layer):
         self.nl = len(ch)
         self.ch = tuple(ch)
         c2 = max(16, ch[0] // 4, self.reg_max * 4)
-        c3 = max(ch[0], min(nc, 100))
+        # NOT the newer ultralytics max(ch[0], min(nc, 100)): the reference
+        # (yolo.py:79) widens the whole cls tower for nc > ch[0] — matters
+        # for Objects365-full (nc=365, published 107M params README.md:243)
+        c3 = max(ch[0], nc)
         self.box_towers = [
             Seq(Conv(c, c2, 3), Conv(c2, c2, 3), PlainConv(c2, 4 * self.reg_max, 1)) for c in ch
         ]

@@ -101,3 +101,22 @@ def test_grad_scale_tree(tiny_model):
     assert all(abs(float(s) - 0.5) < 1e-9 for s in flat)
     flat_h = jax.tree_util.tree_leaves(scales["head_a"])
     assert all(abs(float(s) - 1.0) < 1e-9 for s in flat_h)
+
+
+def test_param_count_matches_reference_3task():
+    """Reference README.md:242 reports 142M params for 3-task v8x."""
+    m = CerberusModel("configs/models/yolov8x_3task.yaml",
+                      ["voc", "animals", "tableware"], [20, 19, 12])
+    params = m.init(jax.random.PRNGKey(0))
+    n = m.num_params(params)
+    assert 140e6 < n < 144e6, n
+
+
+def test_param_count_matches_reference_2task_full():
+    """Reference README.md:243 reports 107M params for VOC + full
+    Objects365 (365 classes)."""
+    m = CerberusModel("configs/models/yolov8x_2task.yaml",
+                      ["voc", "objects365_full"], [20, 365])
+    params = m.init(jax.random.PRNGKey(0))
+    n = m.num_params(params)
+    assert 106e6 < n < 109e6, n

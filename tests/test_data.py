@@ -208,3 +208,30 @@ def test_dataset_single_cls(toy_dataset):
     # the plain dataset still has its original classes (cache not poisoned)
     ds2 = DetectionDataset(toy_dataset, imgsz=128, augment=False, task="sc")
     assert any((lb[:, 0] != 0).any() for lb in ds2.labels if len(lb))
+
+
+def test_process_workers_bitwise_equal(toy_dataset):
+    """num_workers > 0 (process pool, the reference's worker model) yields
+    batches BITWISE identical to the in-process thread path: augmentation
+    RNG is a pure function of (seed, epoch, index) that travels with each
+    request."""
+    hyp = dict(mosaic=1.0, mixup=0.5, degrees=5.0, translate=0.1, scale=0.5,
+               hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, fliplr=0.5)
+
+    def batches(num_workers):
+        ds = DetectionDataset(toy_dataset, imgsz=128, augment=True, hyp=hyp,
+                              task=f"pw{num_workers}", seed=7)
+        loader = DataLoader(ds, batch_size=4,
+                            sampler=ShuffleSampler(len(ds), True, seed=7),
+                            num_workers=num_workers)
+        loader.set_epoch(2)
+        out = [b for b in loader]
+        loader.close()
+        return out
+
+    ref = batches(0)
+    multi = batches(2)
+    assert len(ref) == len(multi) > 0
+    for a, b in zip(ref, multi):
+        for k in ("img", "cls", "prob", "bboxes", "mask"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
