@@ -343,10 +343,44 @@ class TrainLoop:
         _, fi = self._broadcast_decision(False, fi)
         dt = time.time() - t0
         if is_main:
+            if not self.opt.nosave and not self.opt.noval:
+                self._final_val_on_ckpts()
+            if not self.opt.nosave:
+                # finalize saved artifacts: EMA promoted to params, optimizer
+                # state dropped (strip_optimizer, train.py:260 /
+                # general.py:557-578)
+                from cerberusdet_tpu.manager.checkpoint import strip_checkpoint
+
+                for name in ("last", "best"):
+                    p = self.manager.wdir / f"{name}.ckpt.npz"
+                    if p.exists():
+                        strip_checkpoint(p)
             self.manager.finalize(self.opt.imgsz)
             print(f"training done in {dt/3600:.2f}h, "
                   f"best fitness {self.manager.best_fitness:.4f}")
         return self.manager.best_fitness if is_main else fi
+
+    def _final_val_on_ckpts(self):
+        """Re-validate the SAVED checkpoints (last, and best if it exists)
+        through the standalone load path — fused conv+BN, EMA-preferred —
+        like the reference's end-of-training val sweep (train.py:233-254).
+        This validates the artifact a user will actually load."""
+        from cerberusdet_tpu.manager.attempt_load import load_single
+
+        for name in ("last", "best"):
+            p = self.manager.wdir / f"{name}.ckpt.npz"
+            if not p.exists():
+                continue
+            model, params, _meta = load_single(str(p), fuse=True)
+            for ti, task in enumerate(self.task_ids):
+                out = run_task(
+                    model, params, task, self.val_loaders[task],
+                    nc=self.manager.nc[ti], names=self.manager.names[ti],
+                    verbose=True,
+                )
+                mp, mr, map50, mAP = out["results"][:4]
+                print(f"final[{name}] {task}: P={mp:.4f} R={mr:.4f} "
+                      f"mAP50={map50:.4f} mAP={mAP:.4f}")
 
     @staticmethod
     def _broadcast_decision(stop: bool, fitness: float):
