@@ -50,7 +50,12 @@ def save_checkpoint(
     half: bool = True,
 ) -> None:
     """meta holds JSON-serializable training state: epoch, task_ids, nc,
-    names, cfg yaml dict, best_fitness(_per_task), n_updates, hyp, ..."""
+    names, cfg yaml dict, best_fitness(_per_task), n_updates, hyp, ...
+
+    Paths not ending in .npz save as an orbax directory (same contents)."""
+    if is_orbax_path(path):
+        return save_checkpoint_orbax(path, params, meta, ema_params,
+                                     opt_momentum, half)
     arrays: Dict[str, np.ndarray] = {}
 
     def cast(x: np.ndarray) -> np.ndarray:
@@ -77,6 +82,8 @@ def save_checkpoint(
 def load_checkpoint(path) -> Dict[str, Any]:
     """Returns {'params', 'ema', 'opt', 'meta'} ('ema'/'opt' may be None).
     Float16 arrays are upcast back to float32."""
+    if is_orbax_path(path):
+        return load_checkpoint_orbax(path)
     data = np.load(path, allow_pickle=False)
     groups: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "ema": {}, "opt": {}}
     meta: Dict[str, Any] = {}
@@ -120,3 +127,78 @@ def intersect_trees(dst: Dict[str, Any], src: Dict[str, Any]) -> Tuple[Dict[str,
             out[k] = s.astype(np.asarray(v).dtype)
             matched += 1
     return unflatten_tree(out), matched, len(dst_flat)
+
+
+# ------------------------------------------------------------------ orbax
+# Optional directory-format backend (SURVEY.md §5.4 design note): orbax
+# writes each array as its own OCDBT entry with async I/O and multi-host
+# coordination — preferable to one monolithic .npz for pod-scale training
+# or very large models. The logical contents and the load_checkpoint return
+# contract are IDENTICAL to the .npz path, so everything downstream
+# (attempt_load, resume, strip) works on either format. save/load dispatch
+# on the path: *.ckpt.npz -> npz file, anything else -> orbax directory.
+
+def is_orbax_path(path) -> bool:
+    return not str(path).endswith(".npz")
+
+
+def save_checkpoint_orbax(path, params, meta, ema_params=None,
+                          opt_momentum=None, half: bool = True) -> None:
+    import orbax.checkpoint as ocp
+
+    def cast_tree(tree):
+        def cast(x):
+            x = np.asarray(x)
+            return x.astype(np.float16) if (half and x.dtype == np.float32) else x
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                sub = cast_tree(v)
+                if sub:  # prune parameterless nodes like the .npz flatten does
+                    out[k] = sub
+            else:
+                out[k] = cast(v)
+        return out
+
+    payload = {"params": cast_tree(params)}
+    if ema_params is not None:
+        payload["ema"] = cast_tree(ema_params)
+    if opt_momentum is not None:
+        payload["opt"] = {k: np.asarray(v)
+                          for k, v in flatten_tree(opt_momentum).items()}
+    # meta rides in the payload (orbax finalizes the directory atomically;
+    # sidecar files would race the rename)
+    payload["meta_json"] = np.frombuffer(
+        json.dumps(meta, default=float).encode(), dtype=np.uint8).copy()
+    path = Path(path).resolve()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    out = ocp.StandardCheckpointer().restore(path)
+
+    def upcast(tree):
+        return {k: upcast(v) if isinstance(v, dict)
+                else (np.asarray(v).astype(np.float32)
+                      if np.asarray(v).dtype == np.float16 else np.asarray(v))
+                for k, v in tree.items()}
+
+    meta = json.loads(bytes(np.asarray(out["meta_json"],
+                                       np.uint8).tobytes()).decode())
+    opt = out.get("opt")
+    return {
+        "params": upcast(out["params"]),
+        "ema": upcast(out["ema"]) if out.get("ema") else None,
+        "opt": unflatten_tree(dict(opt)) if opt else None,
+        "meta": meta,
+    }
