@@ -109,16 +109,21 @@ class DataLoader:
         worker at pool start. RAM image caches are dropped from the shipped
         copy (each worker would duplicate them)."""
         if self._pool is None:
+            import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
 
             ds = self.dataset
-            if getattr(ds, "_im_cache", None):
+            if getattr(ds, "_im_cache", None) is not None:
                 import copy
 
                 ds = copy.copy(ds)
                 ds._im_cache = None
+            # spawn, not fork: the pool is built from the prefetch thread of
+            # a multi-threaded (JAX) process — forking here can clone a held
+            # lock into the child and deadlock it before _init_worker runs
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
                 initializer=_init_worker, initargs=(ds,))
         return self._pool
 
@@ -219,9 +224,12 @@ class InfiniteLoader:
     (replaces InfiniteDataLoader + the reference's iterator-cycling at
     averaging.py:148-152)."""
 
-    def __init__(self, loader: DataLoader):
+    def __init__(self, loader: DataLoader, epoch: int = 0):
+        # `epoch` seeds the sampler/augmentation streams: callers that build
+        # a fresh InfiniteLoader per training epoch MUST pass the real epoch
+        # or every epoch repeats the same order and augmentations
         self.loader = loader
-        self.epoch = 0
+        self.epoch = epoch
         self._it = None
 
     def __len__(self):

@@ -89,9 +89,14 @@ class RayEvolver(BaseEvolver):
 
         hyp0 = copy.deepcopy(self.init_hyp)
 
-        gen_counter = {"n": 0}
+        import json as _json
 
         def objective(config):
+            # Runs in a Ray TRIAL WORKER process: no driver state is shared,
+            # so the trial only computes and REPORTS — all bookkeeping
+            # (evolve.json, MLflow) happens on the driver from the
+            # ResultGrid below (the reference's LoggerCallback is driver-side
+            # for the same reason, ray_evolver.py:166-193)
             from ray.air import session
 
             hyp = dict(hyp0)
@@ -99,20 +104,12 @@ class RayEvolver(BaseEvolver):
             results = self.train_once(hyp)
             from cerberusdet_tpu.evaluation.metrics import overall_fitness
 
-            # trial bookkeeping like the reference's LoggerCallback
-            # (ray_evolver.py:166-193): evolve.json mutation log, ckpt
-            # promotion, per-trial MLflow run
-            gen = gen_counter["n"]
-            gen_counter["n"] += 1
-            self.file_logger.append_mutation_to_file(
-                copy.deepcopy(hyp), results, self.opt.epochs, gen)
-            if self.file_logger.is_last_mutation_best():
-                self.ckpt_logger.update_best_model()
-            else:
-                self.ckpt_logger.remove_last_model()
-            self.log_generation_to_mlflow(gen, hyp, results)
-
-            session.report({"overall_fitness": overall_fitness(results)})
+            session.report({
+                "overall_fitness": overall_fitness(results),
+                "hyps_json": _json.dumps(hyp, default=float),
+                "results_json": _json.dumps(
+                    {t: list(map(float, r)) for t, r in results.items()}),
+            })
 
         if self.searcher == "random":
             search_alg = BasicVariantGenerator()
@@ -132,6 +129,17 @@ class RayEvolver(BaseEvolver):
                 search_alg=search_alg,
             ),
         )
-        tuner.fit()
+        result_grid = tuner.fit()
+        # driver-side trial bookkeeping, in completion order
+        for gen, res in enumerate(result_grid):
+            metrics = getattr(res, "metrics", None) or {}
+            if "results_json" not in metrics:
+                continue  # errored trial
+            hyp = _json.loads(metrics["hyps_json"])
+            results = {t: tuple(r) for t, r in
+                       _json.loads(metrics["results_json"]).items()}
+            self.file_logger.append_mutation_to_file(
+                hyp, results, self.opt.epochs, gen)
+            self.log_generation_to_mlflow(gen, hyp, results)
         self.plot_evolution()
         self.sync_final_artifacts_to_mlflow()

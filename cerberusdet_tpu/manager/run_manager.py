@@ -47,7 +47,7 @@ def parse_data_config(data: Any) -> Dict[str, Any]:
         d["names"] = [d["names"]]
         d["train"] = [d["train"]]
         d["val"] = [d["val"]]
-        if "test" in d:
+        if d.get("test") is not None:
             d["test"] = [d["test"]]
         d.setdefault("task_ids", ["detect"])
         if not isinstance(d["task_ids"], list):

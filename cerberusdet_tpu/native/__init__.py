@@ -41,15 +41,21 @@ def _candidate_so_paths():
 def _build(so_path: Path) -> bool:
     src = _HERE / "jpeg_io.cpp"
     so_path.parent.mkdir(parents=True, exist_ok=True)
+    # compile to a unique temp name and rename atomically: concurrent
+    # first-use builds (e.g. several worker processes) must never dlopen a
+    # half-written .so
+    tmp = so_path.with_name(f".{so_path.name}.{os.getpid()}.tmp")
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           str(src), "-o", str(so_path), "-ljpeg"]
+           str(src), "-o", str(tmp), "-ljpeg"]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
         return False
     if proc.returncode != 0:
         sys.stderr.write(f"cerberusdet_tpu.native: build failed:\n{proc.stderr[-1000:]}\n")
+        tmp.unlink(missing_ok=True)
         return False
+    os.replace(tmp, so_path)
     return True
 
 

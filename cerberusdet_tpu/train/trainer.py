@@ -195,7 +195,8 @@ class TrainLoop:
     def train_epoch(self, epoch: int) -> Dict[str, np.ndarray]:
         opt = self.opt
         freeze = epoch < opt.freeze_shared_till_epoch
-        iters = {t: InfiniteLoader(self.train_loaders[t]) for t in self.task_ids}
+        iters = {t: InfiniteLoader(self.train_loaders[t], epoch=epoch)
+                 for t in self.task_ids}
         momentum_h = float(get_hyperparameter(self.hyp, "momentum"))
         mloss: Dict[str, Any] = {t: None for t in self.task_ids}
         counts = {t: 0 for t in self.task_ids}
@@ -298,10 +299,10 @@ class TrainLoop:
         m = out["metrics"]
         if getattr(m, "_results", None):
             _, _, p, r, f1, ap, classes, p_curve, r_curve, px = m._results
-            # precision at each recall point per class -> reuse p/r curves
+            # curve rows follow ap_per_class's PRESENT-class order
             plot_pr_curve(px, p_curve, ap,
                           self.manager.save_dir / f"{task}_PR_curve.png",
-                          list(self.manager.names[ti]))
+                          [self.manager.names[ti][int(c)] for c in classes])
         plot_confusion_matrix(out["confusion"].matrix, self.manager.names[ti],
                               self.manager.save_dir / f"{task}_confusion_matrix.png")
 

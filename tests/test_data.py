@@ -235,3 +235,26 @@ def test_process_workers_bitwise_equal(toy_dataset):
     for a, b in zip(ref, multi):
         for k in ("img", "cls", "prob", "bboxes", "mask"):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_epochs_vary_order_and_augmentation(toy_dataset):
+    """Regression: a fresh InfiniteLoader per epoch must carry the REAL epoch
+    — epoch 0 and epoch 1 produce different shuffles and augmentations (the
+    per-sample RNG is seeded by (seed, epoch, index))."""
+    hyp = dict(mosaic=1.0, degrees=10.0, translate=0.2, scale=0.5)
+
+    def first_batch(epoch):
+        ds = DetectionDataset(toy_dataset, imgsz=128, augment=True, hyp=hyp,
+                              task="ev", seed=3)
+        loader = DataLoader(ds, batch_size=4,
+                            sampler=ShuffleSampler(len(ds), True, seed=3))
+        it = InfiniteLoader(loader, epoch=epoch)
+        b = next(it)
+        it.loader = None
+        return b
+
+    b0, b1 = first_batch(0), first_batch(1)
+    assert not np.array_equal(b0["img"], b1["img"])
+    # same epoch twice IS identical (determinism preserved)
+    b0b = first_batch(0)
+    np.testing.assert_array_equal(b0["img"], b0b["img"])

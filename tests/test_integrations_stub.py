@@ -130,10 +130,15 @@ def install_ray_stub(monkeypatch, record):
 
         def fit(self):
             n = record["tune_config"]["num_samples"]
+            results = []
             for _ in range(n):
                 cfg = {k: v.sample() for k, v in self.space.items()}
                 record["configs"].append(cfg)
+                before = len(record["reports"])
                 self.objective(cfg)
+                metrics = record["reports"][-1] if len(record["reports"]) > before else {}
+                results.append(types.SimpleNamespace(metrics=metrics))
+            return results
 
     class ASHAScheduler:
         def __init__(self, **kw):

@@ -123,10 +123,11 @@ def main(argv=None):
 
     results = {}
     for ti, task in enumerate(data_dict["task_ids"]):
-        # evaluate on the requested split, falling back to val
-        # (reference val.py:226)
+        # evaluate on the requested split, falling back to val when the key
+        # is missing OR a null placeholder like `test:` (reference val.py:226)
         split = opt.task if opt.task in ("train", "val", "test") else "val"
-        path = data_dict.get(split, data_dict["val"])[ti]
+        paths = data_dict.get(split) or data_dict["val"]
+        path = paths[ti] if paths[ti] is not None else data_dict["val"][ti]
         # reference standalone-val protocol: rect=True, pad=0.5
         # (cerberusdet/val.py:231-246) — aspect-grouped batches, one letterbox
         # shape per batch (a bounded set of stride-multiple shapes, each
@@ -159,8 +160,10 @@ def main(argv=None):
         m = out["metrics"]
         if getattr(m, "_results", None):
             _, _, p, r, f1, ap, classes, p_curve, r_curve, px = m._results
+            # curve rows correspond to the PRESENT classes, in `classes`
+            # order — label them accordingly, not positionally
             plot_pr_curve(px, p_curve, ap, save_dir / f"{task}_PR_curve.png",
-                          names)
+                          [names[int(c)] for c in classes])
         plot_confusion_matrix(out["confusion"].matrix, names,
                               save_dir / f"{task}_confusion_matrix.png")
 
@@ -178,8 +181,11 @@ def main(argv=None):
                 f"val/{task}/fitness": out["fitness"],
             }
             m = out["metrics"]
+            # under --single-cls the metrics are over ONE merged class
+            task_names = (["item"] if opt.single_cls else
+                          data_dict["names"][data_dict["task_ids"].index(task)])
             for i, c in enumerate(m.ap_class_index):
-                name = data_dict["names"][data_dict["task_ids"].index(task)][c]
+                name = task_names[int(c)]
                 metrics[f"val/{task}/ap50_{name}".replace(" ", "_")] = (
                     float(m.class_result(i)[2]))
             logger.log_metrics(metrics)
