@@ -57,6 +57,7 @@ class TrainOptions:
     cache_images: bool = False
     single_cls: bool = False               # train multi-class data as one class
     workers: Optional[int] = None          # loader decode threads (--workers)
+    proc_workers: int = 0                  # decode/augment worker PROCESSES
     max_labels: int = 300
     plots: bool = True
     seed: int = 0
@@ -108,7 +109,7 @@ class TrainLoop:
                 multi_label=opt.use_multi_labels, soft_label=opt.use_soft_labels,
                 max_labels=opt.max_labels, task=task, seed=opt.seed,
                 cache_images=opt.cache_images, single_cls=opt.single_cls,
-                num_threads=opt.workers,
+                num_threads=opt.workers, num_workers=opt.proc_workers,
             )
             self.datasets[task] = ds
             self.train_loaders[task] = loader

@@ -44,6 +44,10 @@ def parse_opt(argv=None):
                    help="train multi-class data as single-class")
     p.add_argument("--workers", type=int, default=None,
                    help="dataloader decode threads (reference --workers)")
+    p.add_argument("--proc-workers", type=int, default=0,
+                   help="decode/augment in N worker PROCESSES (the "
+                        "reference's torch-DataLoader model; use when "
+                        "python-level augment work GIL-caps the threads)")
     p.add_argument("--sync-bn", action="store_true",
                    help="accepted for parity; BatchNorm statistics are "
                         "globally synchronized by construction under the "
@@ -104,6 +108,7 @@ def main(argv=None):
         use_multi_labels=opt_ns.use_multi_labels,
         use_soft_labels=opt_ns.use_soft_labels, cache_images=opt_ns.cache_images,
         single_cls=opt_ns.single_cls, workers=opt_ns.workers,
+        proc_workers=opt_ns.proc_workers,
         seed=opt_ns.seed, resume=resume,
         mlflow_url=opt_ns.mlflow_url, experiment_name=opt_ns.experiment_name,
         compute_dtype="bfloat16" if opt_ns.bf16 else "float32",
