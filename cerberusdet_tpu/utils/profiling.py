@@ -94,3 +94,21 @@ def profile_op(fn, *args, iters: int = 10) -> Dict[str, float]:
     jax.block_until_ready(prev)
     dt = (time.perf_counter() - t0) / iters
     return {"ms": dt * 1e3}
+
+
+def trace(log_dir, fn, *args, iters: int = 5):
+    """Capture a jax.profiler device trace of `fn(*args)` repeated `iters`
+    times (the TPU-era replacement for the reference's thop/profile passes,
+    SURVEY.md §5.1). View with TensorBoard's profile plugin or xprof.
+
+    Returns fn's last result. The first call compiles OUTSIDE the trace so
+    the capture shows steady-state execution only."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    with jax.profiler.trace(str(log_dir)):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    return out
