@@ -153,3 +153,33 @@ def test_train_cli_evolver_flag_dispatch(cli_data, monkeypatch):
     assert seen.pop("cls") == "RayEvolver" and seen.pop("ran")
     assert seen.pop("name") == "optuna_e2"
     assert seen.pop("kw")["searcher"] == "optuna"
+
+
+@pytest.mark.slow
+def test_train_cli_resume_reinstates_opt(cli_data, tmp_path_factory):
+    """--resume replaces current CLI flags with the run's saved opt.yaml and
+    resumes IN PLACE (train.py:346-356 semantics)."""
+    _, data_yaml = cli_data
+    project = str(tmp_path_factory.mktemp("runs_resume"))
+    import train as train_cli
+
+    train_cli.main([
+        "--data", data_yaml, "--cfg", "configs/models/yolov8n.yaml",
+        "--epochs", "1", "--batch-size", "2", "--imgsz", "64",
+        "--project", project, "--name", "exp",
+    ])
+    ckpt = Path(project) / "exp" / "weights" / "last.ckpt.npz"
+    assert ckpt.exists()
+
+    # conflicting flags on the resume command line must be overridden by the
+    # saved opt.yaml (imgsz 96 -> 64), and no new run dir may appear
+    train_cli.main([
+        "--data", data_yaml, "--imgsz", "96", "--batch-size", "4",
+        "--project", project, "--resume", str(ckpt),
+    ])
+    import yaml as _yaml
+
+    saved = _yaml.safe_load((Path(project) / "exp" / "opt.yaml").read_text())
+    assert saved["imgsz"] == 64 and saved["batch_size"] == 2
+    runs = sorted(p.name for p in Path(project).iterdir() if p.is_dir())
+    assert runs == ["exp"], runs

@@ -95,6 +95,32 @@ def main(argv=None):
         if not runs:
             sys.exit("--resume: no previous run found")
         resume = str(runs[-1])
+    if resume:
+        # reinstate the interrupted run's OWN settings (train.py:346-356):
+        # the saved opt.yaml replaces current CLI flags, and the run resumes
+        # IN PLACE (same run dir) rather than incrementing a new one
+        run_dir = Path(resume).parent.parent
+        opt_yaml = run_dir / "opt.yaml"
+        if opt_yaml.exists():
+            with open(opt_yaml) as f:
+                saved = yaml.safe_load(f) or {}
+            for k in ("resume", "project", "name", "exist_ok"):
+                saved.pop(k, None)
+            for k, v in saved.items():
+                if hasattr(opt_ns, k):
+                    setattr(opt_ns, k, v)
+            opt_ns.bf16 = saved.get("compute_dtype") == "bfloat16"
+            opt_ns.project = str(run_dir.parent)
+            opt_ns.name = run_dir.name
+            opt_ns.exist_ok = True
+            with open(opt_ns.hyp) as f:
+                hyp = yaml.safe_load(f)
+            data_dict = parse_data_config(opt_ns.data)
+            bs = opt_ns.batch_size
+            if not isinstance(bs, (int, list)):
+                bs = [int(x) for x in str(bs).split(",")]
+                bs = bs[0] if len(bs) == 1 else bs
+            batch_size = bs
 
     opt = TrainOptions(
         cfg=opt_ns.cfg, data=opt_ns.data, hyp=opt_ns.hyp, weights=opt_ns.weights,
