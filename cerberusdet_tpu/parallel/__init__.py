@@ -10,3 +10,6 @@ from cerberusdet_tpu.parallel.spatial import (  # noqa: F401
     make_spatial_forward,
     make_spatial_mesh,
 )
+from cerberusdet_tpu.parallel.spatial import (  # noqa: F401
+    make_data_spatial_mesh,
+)

@@ -38,6 +38,22 @@ def make_spatial_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.array(devices), (axis,))
 
 
+def make_data_spatial_mesh(n_spatial: int,
+                           devices: Optional[Sequence] = None,
+                           data_axis: str = "data",
+                           axis: str = SPATIAL_AXIS) -> Mesh:
+    """2-D (data x spatial) mesh: batch parallelism and height sharding
+    COMPOSE — e.g. 4 groups of 2 chips each halving every image. The two
+    shardings are orthogonal GSPMD annotations, so outputs stay bit-exact
+    (tests/test_spatial.py)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) % n_spatial:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"n_spatial={n_spatial}")
+    arr = np.array(devices).reshape(len(devices) // n_spatial, n_spatial)
+    return Mesh(arr, (data_axis, axis))
+
+
 def check_spatial_shape(h: int, n_devices: int, max_stride: int = 32) -> None:
     """H must split evenly across devices at EVERY feature level."""
     quantum = n_devices * max_stride
@@ -54,8 +70,12 @@ def make_spatial_forward(model, mesh: Mesh, tasks=None,
     H axis sharded over `mesh`; params replicated, outputs replicated.
 
     Returns fn(params, img NHWC) -> {task: (B, N, 4+nc) decoded predictions}.
+
+    On a 2-D mesh from make_data_spatial_mesh, the batch axis additionally
+    shards over the 'data' mesh axis (batch must divide it).
     """
-    n_dev = mesh.devices.size
+    batch_axis = next((a for a in mesh.axis_names if a != axis), None)
+    n_sp = mesh.shape[axis]
 
     def forward(params, img):
         out = model(params, img, Ctx(train=False, dtype=dtype), tasks=tasks)
@@ -64,12 +84,16 @@ def make_spatial_forward(model, mesh: Mesh, tasks=None,
     jitted = jax.jit(
         forward,
         in_shardings=(NamedSharding(mesh, P()),
-                      NamedSharding(mesh, P(None, axis, None, None))),
+                      NamedSharding(mesh, P(batch_axis, axis, None, None))),
         out_shardings=NamedSharding(mesh, P()),
     )
 
     def run(params, img):
-        check_spatial_shape(img.shape[1], n_dev, int(max(model.strides)))
+        check_spatial_shape(img.shape[1], n_sp, int(max(model.strides)))
+        if batch_axis and img.shape[0] % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"batch {img.shape[0]} not divisible by the mesh "
+                f"'{batch_axis}' axis ({mesh.shape[batch_axis]})")
         with mesh:
             return jitted(params, img)
 

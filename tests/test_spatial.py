@@ -55,3 +55,25 @@ def test_spatial_shape_check(model_and_params):
     run = make_spatial_forward(model, make_spatial_mesh(), dtype=jnp.float32)
     with pytest.raises(ValueError):
         run(params, jnp.zeros((1, 320, 256, 3), jnp.float32))
+
+
+def test_data_spatial_2d_mesh_exact(model_and_params):
+    """Batch (data) and height (sp) sharding compose on a 2-D mesh —
+    bit-exact vs single-device."""
+    from cerberusdet_tpu.parallel import make_data_spatial_mesh
+
+    model, params = model_and_params
+    img = jax.random.uniform(jax.random.PRNGKey(2), (4, 256, 256, 3), jnp.float32)
+
+    def fwd(params, img):
+        out = model(params, img, Ctx(train=False, dtype=jnp.float32))
+        return {t: pred for t, (pred, _f) in out.items()}
+
+    ref = jax.jit(fwd)(params, img)
+    mesh = make_data_spatial_mesh(n_spatial=2)  # 4 x 2 over 8 devices
+    run = make_spatial_forward(model, mesh, dtype=jnp.float32)
+    out = run(params, img)
+    for t in ref:
+        np.testing.assert_array_equal(np.asarray(ref[t]), np.asarray(out[t]))
+    with pytest.raises(ValueError, match="divisible"):
+        run(params, jnp.zeros((3, 256, 256, 3), jnp.float32))  # 3 % 4 != 0
