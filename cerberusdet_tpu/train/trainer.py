@@ -58,6 +58,7 @@ class TrainOptions:
     single_cls: bool = False               # train multi-class data as one class
     workers: Optional[int] = None          # loader decode threads (--workers)
     proc_workers: int = 0                  # decode/augment worker PROCESSES
+    warmup_min_iters: int = 1000           # reference warmup floor (averaging.py:57)
     max_labels: int = 300
     plots: bool = True
     seed: int = 0
@@ -153,7 +154,12 @@ class TrainLoop:
         self.lf = lr_lambda(opt.epochs, float(get_hyperparameter(hyp, "lrf")),
                             cos_lr=not opt.linear_lr)
         self.nb = max(len(l) for l in self.train_loaders.values())
-        self.nw = max(round(float(get_hyperparameter(hyp, "warmup_epochs")) * self.nb), 1000)
+        # warmup window: the reference floors it at 1000 iterations
+        # (averaging.py:57) — sensible at production scale, but it silently
+        # prevents ANY learning on tiny datasets (total iters < warmup), so
+        # the floor is overridable for demos/tests
+        self.nw = max(round(float(get_hyperparameter(hyp, "warmup_epochs")) * self.nb),
+                      opt.warmup_min_iters)
         self.iters_per_task = None
         if opt.skip_batches:
             lens = [len(self.train_loaders[t]) for t in self.task_ids]

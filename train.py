@@ -56,6 +56,10 @@ def parse_opt(argv=None):
     p.add_argument("--mesh", action="store_true", help="data-parallel over all devices")
     p.add_argument("--resume", nargs="?", const="auto", default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--warmup-min-iters", type=int, default=1000,
+                   help="LR-warmup iteration floor (reference hardcodes "
+                        "1000, averaging.py:57); lower it for tiny datasets "
+                        "whose total iterations would never leave warmup")
     p.add_argument("--mlflow-url", type=str, default="",
                    help="MLflow tracking server (reference --mlflow-url)")
     p.add_argument("--experiment-name", type=str, default="cerberusdet")
@@ -135,6 +139,7 @@ def main(argv=None):
         use_soft_labels=opt_ns.use_soft_labels, cache_images=opt_ns.cache_images,
         single_cls=opt_ns.single_cls, workers=opt_ns.workers,
         proc_workers=opt_ns.proc_workers,
+        warmup_min_iters=opt_ns.warmup_min_iters,
         seed=opt_ns.seed, resume=resume,
         mlflow_url=opt_ns.mlflow_url, experiment_name=opt_ns.experiment_name,
         compute_dtype="bfloat16" if opt_ns.bf16 else "float32",
