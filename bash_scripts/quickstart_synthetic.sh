@@ -6,6 +6,7 @@
 # — mAP50 ~0.97/0.69 — but confidences stay modest) -> export to the
 # reference's .pt format.
 set -e
+cd "$(dirname "$0")/.."  # repo root: configs/ paths are relative
 OUT=${1:-/tmp/cerberus_quickstart}
 
 python -m cerberusdet_tpu.tools.make_synthetic_data --out "$OUT/data"

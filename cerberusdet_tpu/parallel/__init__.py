@@ -7,9 +7,7 @@ from cerberusdet_tpu.parallel.mesh import (  # noqa: F401
 )
 from cerberusdet_tpu.parallel.spatial import (  # noqa: F401
     check_spatial_shape,
+    make_data_spatial_mesh,
     make_spatial_forward,
     make_spatial_mesh,
-)
-from cerberusdet_tpu.parallel.spatial import (  # noqa: F401
-    make_data_spatial_mesh,
 )

@@ -35,7 +35,8 @@ def make_task(root: Path, task: str, nc: int, n: int, size: int, seed: int):
                 y = rng.uniform(h / 2, 1 - h / 2)
                 x1, y1 = int((x - w / 2) * size), int((y - h / 2) * size)
                 x2, y2 = int((x + w / 2) * size), int((y + h / 2) * size)
-                color = [(255, 64, 64), (64, 255, 64), (64, 64, 255)][c % 3]
+                # BGR (cv2's channel order): red / green / blue
+                color = [(64, 64, 255), (64, 255, 64), (255, 64, 64)][c % 3]
                 cv2.rectangle(im, (x1, y1), (x2, y2), color, -1)
                 lines.append(f"{c} {x:.4f} {y:.4f} {w:.4f} {h:.4f}")
             cv2.imwrite(str(img_dir / f"{i:03d}.jpg"), im)

@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 train step (matches PROFILE.md's numbers; "
+                        "infer mode is always bf16)")
     args = p.parse_args(argv)
 
     import jax
@@ -53,7 +56,9 @@ def main(argv=None):
 
         losses = {t: DetectionLoss(nc=nc, strides=model.strides)
                   for t, nc in zip(tasks, ncs)}
-        trainer = MultiTaskTrainer(model, losses)
+        trainer = MultiTaskTrainer(
+            model, losses,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         state = init_train_state(params)
 
         def batch(nc, seed):
@@ -71,11 +76,17 @@ def main(argv=None):
         batches = {t: batch(nc, i + 1) for i, (t, nc) in enumerate(zip(tasks, ncs))}
         lrs = np.full((3,), 0.01, np.float32)
 
-        def fn(state):
-            state, items = trainer.step(state, batches, lrs, 0.937)
-            return state
+        # the jitted step DONATES its input state — thread the returned
+        # state through a closure so repeated trace iterations never touch
+        # a deleted buffer
+        holder = {"state": state}
 
-        trace(args.out, fn, state, iters=args.iters)
+        def fn():
+            holder["state"], _items = trainer.step(
+                holder["state"], batches, lrs, 0.937)
+            return holder["state"]
+
+        trace(args.out, fn, iters=args.iters)
     print(f"trace written to {args.out}")
 
 

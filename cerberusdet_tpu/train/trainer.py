@@ -59,6 +59,8 @@ class TrainOptions:
     workers: Optional[int] = None          # loader decode threads (--workers)
     proc_workers: int = 0                  # decode/augment worker PROCESSES
     warmup_min_iters: int = 1000           # reference warmup floor (averaging.py:57)
+    use_mesh: bool = False                 # data-parallel mesh (--mesh); in
+                                           # TrainOptions so resume restores it
     max_labels: int = 300
     plots: bool = True
     seed: int = 0
@@ -71,7 +73,7 @@ class TrainOptions:
 
 class TrainLoop:
     def __init__(self, opt: TrainOptions, data_dict: Dict[str, Any],
-                 hyp: Dict[str, Any], use_mesh: bool = False):
+                 hyp: Dict[str, Any], use_mesh: Optional[bool] = None):
         self.opt = opt
         self.hyp = hyp
         if opt.single_cls:
@@ -165,17 +167,21 @@ class TrainLoop:
             lens = [len(self.train_loaders[t]) for t in self.task_ids]
             self.iters_per_task = [max(self.nb // l, 1) for l in lens]
         self.stopper = EarlyStopping(opt.patience)
+        # resume BEFORE mesh replication: _resume overwrites self.state with
+        # freshly loaded host arrays, which would discard an earlier
+        # replicate() and leave a resumed mesh run unsharded
+        if opt.resume:
+            self._resume(opt.resume)
+        elif ckpt_meta:
+            self.manager.best_fitness = ckpt_meta.get("best_fitness", 0.0)
         self.mesh = None
+        if use_mesh is None:
+            use_mesh = opt.use_mesh
         if use_mesh:
             from cerberusdet_tpu.parallel import make_mesh, replicate
 
             self.mesh = make_mesh()
             self.state = replicate(self.state, self.mesh)
-        # resume
-        if opt.resume:
-            self._resume(opt.resume)
-        elif ckpt_meta:
-            self.manager.best_fitness = ckpt_meta.get("best_fitness", 0.0)
 
     # ------------------------------------------------------------------
     def _resume(self, path: str):

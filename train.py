@@ -95,7 +95,9 @@ def main(argv=None):
 
     resume = opt_ns.resume
     if resume == "auto":
-        runs = sorted(Path(opt_ns.project).glob("*/weights/last.ckpt.npz"))
+        # newest by modification time, NOT lexicographic (exp9 > exp10)
+        runs = sorted(Path(opt_ns.project).glob("*/weights/last.ckpt.npz"),
+                      key=lambda p: p.stat().st_mtime)
         if not runs:
             sys.exit("--resume: no previous run found")
         resume = str(runs[-1])
@@ -114,6 +116,7 @@ def main(argv=None):
                 if hasattr(opt_ns, k):
                     setattr(opt_ns, k, v)
             opt_ns.bf16 = saved.get("compute_dtype") == "bfloat16"
+            opt_ns.mesh = bool(saved.get("use_mesh", opt_ns.mesh))
             opt_ns.project = str(run_dir.parent)
             opt_ns.name = run_dir.name
             opt_ns.exist_ok = True
@@ -140,6 +143,7 @@ def main(argv=None):
         single_cls=opt_ns.single_cls, workers=opt_ns.workers,
         proc_workers=opt_ns.proc_workers,
         warmup_min_iters=opt_ns.warmup_min_iters,
+        use_mesh=opt_ns.mesh,
         seed=opt_ns.seed, resume=resume,
         mlflow_url=opt_ns.mlflow_url, experiment_name=opt_ns.experiment_name,
         compute_dtype="bfloat16" if opt_ns.bf16 else "float32",
@@ -167,7 +171,8 @@ def main(argv=None):
         evolver.run_evolution()
         return
 
-    loop = TrainLoop(opt, data_dict, hyp, use_mesh=opt_ns.mesh)
+    loop = TrainLoop(opt, data_dict, hyp)  # mesh comes from opt.use_mesh
+                                           # (restorable on --resume)
     loop.train()
 
 
