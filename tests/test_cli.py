@@ -183,3 +183,39 @@ def test_train_cli_resume_reinstates_opt(cli_data, tmp_path_factory):
     assert saved["imgsz"] == 64 and saved["batch_size"] == 2
     runs = sorted(p.name for p in Path(project).iterdir() if p.is_dir())
     assert runs == ["exp"], runs
+
+
+def test_resume_auto_picks_newest_by_mtime(cli_data, tmp_path, monkeypatch):
+    """--resume auto must pick the most recently written run, not the
+    lexicographically last one (exp9 vs exp10)."""
+    import os
+    import time as _time
+
+    _, data_yaml = cli_data
+    import train as train_cli
+
+    project = tmp_path / "runs"
+    for name, age in (("exp10", 100), ("exp9", 0)):  # exp9 is NEWER
+        w = project / name / "weights"
+        w.mkdir(parents=True)
+        (w / "last.ckpt.npz").write_bytes(b"x")
+        t = _time.time() - age
+        os.utime(w / "last.ckpt.npz", (t, t))
+
+    captured = {}
+
+    class Stop(Exception):
+        pass
+
+    class FakeLoop:
+        def __init__(self, opt, *a, **kw):
+            captured["resume"] = opt.resume
+            raise Stop
+
+    import cerberusdet_tpu.train.trainer as tr
+
+    monkeypatch.setattr(tr, "TrainLoop", FakeLoop)
+    with pytest.raises(Stop):
+        train_cli.main(["--data", data_yaml, "--project", str(project),
+                        "--resume"])
+    assert "exp9" in captured["resume"], captured
