@@ -138,6 +138,26 @@ def check_imshow() -> bool:
     return bool(os.environ.get("DISPLAY")) and platform.system() != "Windows"
 
 
+def select_platform(name: str = "") -> None:
+    """Debug override of the JAX backend (the TPU-native analog of the
+    reference's `--device` flag, torch_utils.py select_device): "" keeps the
+    environment default (TPU when present), "cpu"/"tpu" force a backend.
+
+    Must run before any jax computation; works both before and after
+    `import jax` (jax.config wins over the env var once jax is loaded).
+    """
+    if not name:
+        return
+    import os
+    import sys
+
+    os.environ["JAX_PLATFORMS"] = name
+    if "jax" in sys.modules:
+        import jax
+
+        jax.config.update("jax_platforms", name)
+
+
 def check_dataset(data_dict: dict) -> dict:
     """Verify every train/val path exists (general.py:130-170 without
     auto-download: this environment has no egress)."""

@@ -43,6 +43,9 @@ def parse_opt(argv=None):
     p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--bf16", "--half", action="store_true", dest="bf16",
                    help="half precision = bfloat16 on TPU (reference --half)")
+    p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
+                   help="debug override of the JAX backend (analog of the "
+                        "reference's --device flag)")
     return p.parse_args(argv)
 
 
@@ -60,6 +63,8 @@ def iter_images(source):
 
 def main(argv=None):
     opt = parse_opt(argv)
+    from cerberusdet_tpu.utils.checks import select_platform
+    select_platform(opt.platform)
     from cerberusdet_tpu.infer import (
         CerberusDetInference,
         CerberusPreprocessor,

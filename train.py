@@ -75,11 +75,16 @@ def parse_opt(argv=None):
                    help="accepted for parity (train.py:302; the reference "
                         "parses but never consumes this flag — per-task "
                         "evolution is driven by list-valued hyps)")
+    p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
+                   help="debug override of the JAX backend (analog of the "
+                        "reference's --device flag)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     opt_ns = parse_opt(argv)
+    from cerberusdet_tpu.utils.checks import select_platform
+    select_platform(opt_ns.platform)
     from cerberusdet_tpu.manager.run_manager import parse_data_config
     from cerberusdet_tpu.train.trainer import TrainLoop, TrainOptions
     from cerberusdet_tpu.utils.seeds import init_seeds

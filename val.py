@@ -38,6 +38,9 @@ def parse_opt(argv=None):
     p.add_argument("--mlflow-url", default="",
                    help="upload metrics to MLflow (reference val.py:450-455)")
     p.add_argument("--experiment-name", default="cerberusdet")
+    p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
+                   help="debug override of the JAX backend (analog of the "
+                        "reference's --device flag)")
     return p.parse_args(argv)
 
 
@@ -102,6 +105,8 @@ def speed_benchmark(model, params, imgsz: int, batch: int, bf16: bool):
 
 def main(argv=None):
     opt = parse_opt(argv)
+    from cerberusdet_tpu.utils.checks import select_platform
+    select_platform(opt.platform)
     from cerberusdet_tpu.data.loaders import create_dataloader
     from cerberusdet_tpu.evaluation.val import run_task
     from cerberusdet_tpu.manager.run_manager import parse_data_config
