@@ -34,14 +34,27 @@ def increment_path(path, exist_ok: bool = False) -> Path:
     raise RuntimeError("too many run dirs")
 
 
-def parse_data_config(data: Any) -> Dict[str, Any]:
+def parse_data_config(data: Any, check: bool = False) -> Dict[str, Any]:
     """Load data.yaml; promote single-task scalars to 1-element lists
-    (models_manager.py:61-96)."""
+    (models_manager.py:61-96). With check=True, resolve the optional `path`
+    prefix, verify val paths, and run the yaml's auto-download stanza when
+    they are missing (general.py:130-170)."""
     if isinstance(data, (str, Path)):
         with open(data) as f:
             d = yaml.safe_load(f)
     else:
         d = dict(data)
+    if check:
+        from cerberusdet_tpu.utils.checks import check_dataset
+
+        d = check_dataset(d)
+    elif d.get("path"):
+        # `path` prefix is config semantics, applied even without checking
+        prefix = Path(d["path"])
+        for k in ("train", "val", "test"):
+            if d.get(k):
+                d[k] = (str(prefix / d[k]) if isinstance(d[k], str)
+                        else [str(prefix / x) for x in d[k]])
     if not isinstance(d.get("nc"), list):
         d["nc"] = [d["nc"]]
         d["names"] = [d["names"]]

@@ -2,7 +2,8 @@
 
 Behavioral parity target: cerberusdet/utils/checks.py (check_python,
 check_version, check_file, check_img_size via general.py:122-127,
-check_dataset via general.py:130-170 minus auto-download).
+check_dataset + download via general.py:130-203 — auto-download included,
+offline-testable through file:// URLs).
 """
 
 from __future__ import annotations
@@ -158,14 +159,91 @@ def select_platform(name: str = "") -> None:
         jax.config.update("jax_platforms", name)
 
 
-def check_dataset(data_dict: dict) -> dict:
-    """Verify every train/val path exists (general.py:130-170 without
-    auto-download: this environment has no egress)."""
-    missing = []
-    for key in ("train", "val"):
-        for p in data_dict.get(key, []):
-            if not Path(p).exists():
-                missing.append(p)
-    if missing:
-        raise FileNotFoundError(f"dataset paths missing: {missing}")
-    return data_dict
+def download(url, dir=".", unzip: bool = True, delete: bool = True,
+             threads: int = 1) -> None:
+    """Download (and optionally extract) one or more archives
+    (general.py:173-203 parity). urllib instead of torch.hub (handles
+    file:// URLs, so the machinery is testable without egress); zipfile /
+    tarfile instead of shelling out to unzip/tar.
+    """
+    import shutil
+    import tarfile
+    import urllib.request
+    import zipfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    dir = Path(dir)
+    dir.mkdir(parents=True, exist_ok=True)
+
+    def download_one(u: str) -> None:
+        f = dir / Path(urllib.parse.urlparse(u).path or u).name
+        if not f.exists():
+            with urllib.request.urlopen(u) as r, open(f, "wb") as out:
+                shutil.copyfileobj(r, out)
+        if unzip and f.suffix in (".zip", ".gz"):
+            if f.suffix == ".zip":
+                with zipfile.ZipFile(f) as z:
+                    z.extractall(dir)
+            else:
+                with tarfile.open(f, "r:gz") as t:
+                    t.extractall(f.parent)
+            if delete:
+                f.unlink()
+
+    urls = [url] if isinstance(url, str) else list(url)
+    if threads > 1:
+        with ThreadPoolExecutor(threads) as pool:
+            list(pool.map(download_one, urls))
+    else:
+        for u in urls:
+            download_one(u)
+
+
+def check_dataset(data: dict, autodownload: bool = True) -> dict:
+    """Resolve the optional `path` prefix, default `names`, verify val paths
+    exist, and run the yaml's `download` stanza when they don't
+    (general.py:130-170 parity). The stanza forms match the reference:
+    an archive URL (http/https/file, .zip), a `bash ...` command, or inline
+    python exec'd with the data dict bound as `yaml`."""
+    import os
+
+    path = Path(data.get("path", ""))
+    if str(path) not in ("", "."):
+        for k in ("train", "val", "test"):
+            if data.get(k):
+                # Path(prefix) / absolute-path == absolute-path, so re-running
+                # check_dataset never double-prepends
+                data[k] = (str(path / data[k]) if isinstance(data[k], str)
+                           else [str(path / x) for x in data[k]])
+    assert "nc" in data, "Dataset 'nc' key missing."
+    if "names" not in data:
+        nc = data["nc"]
+        data["names"] = ([[str(i) for i in range(n)] for n in nc]
+                         if isinstance(nc, list)
+                         else [str(i) for i in range(nc)])
+    train, val, s = (data.get(x) for x in ("train", "val", "download"))
+    if isinstance(train, list) and isinstance(val, list):
+        assert len(train) == len(val)
+    if not val:
+        return data
+    val_paths = [Path(x).resolve()
+                 for x in (val if isinstance(val, list) else [val])]
+    missing = [str(x) for x in val_paths if not x.exists()]
+    if not missing:
+        return data
+    if not (s and autodownload):
+        raise FileNotFoundError(f"Dataset not found, nonexistent paths: {missing}")
+    if (s.startswith(("http://", "https://", "file://"))
+            and s.endswith(".zip")):
+        root = path.parent if "path" in data else ".."
+        download(s, dir=root)
+    elif s.startswith("bash "):
+        r = os.system(s)
+        if r != 0:
+            raise RuntimeError(f"dataset download script failed (rc={r}): {s}")
+    else:
+        exec(s, {"yaml": data})
+    still = [str(x) for x in val_paths if not x.exists()]
+    if still:
+        raise FileNotFoundError(f"dataset download did not produce: {still}")
+    return data

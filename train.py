@@ -93,7 +93,7 @@ def main(argv=None):
 
     with open(opt_ns.hyp) as f:
         hyp = yaml.safe_load(f)
-    data_dict = parse_data_config(opt_ns.data)
+    data_dict = parse_data_config(opt_ns.data, check=True)
 
     bs = [int(x) for x in str(opt_ns.batch_size).split(",")]
     batch_size = bs[0] if len(bs) == 1 else bs
@@ -127,7 +127,7 @@ def main(argv=None):
             opt_ns.exist_ok = True
             with open(opt_ns.hyp) as f:
                 hyp = yaml.safe_load(f)
-            data_dict = parse_data_config(opt_ns.data)
+            data_dict = parse_data_config(opt_ns.data, check=True)
             bs = opt_ns.batch_size
             if not isinstance(bs, (int, list)):
                 bs = [int(x) for x in str(bs).split(",")]

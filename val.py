@@ -111,7 +111,7 @@ def main(argv=None):
     from cerberusdet_tpu.evaluation.val import run_task
     from cerberusdet_tpu.manager.run_manager import parse_data_config
 
-    data_dict = parse_data_config(opt.data)
+    data_dict = parse_data_config(opt.data, check=True)
     model, params = load_model_for_eval(opt.weights, opt.cfg, data_dict)
 
     from pathlib import Path
