@@ -95,6 +95,15 @@ class TrainLoop:
             opt.weights or None, seed=opt.seed, verbose=False)
         self.start_epoch = 0
 
+        if not opt.nosave:
+            # one-time model-graph artifact in the run dir: StableHLO text +
+            # XLA cost analysis — the TPU-native analog of the reference's
+            # TensorBoard add_graph (models_manager.py:412-418)
+            from cerberusdet_tpu.utils.profiling import dump_model_graph
+
+            dump_model_graph(self.model, params, self.manager.save_dir,
+                             imgsz=opt.imgsz)
+
         # per-task batch sizes (train.py:286,370-373)
         bs = opt.batch_size
         self.batch_sizes = list(bs) if isinstance(bs, (list, tuple)) else [bs] * len(self.task_ids)

@@ -112,3 +112,45 @@ def trace(log_dir, fn, *args, iters: int = 5):
             out = fn(*args)
         jax.block_until_ready(out)
     return out
+
+def dump_model_graph(model, params, save_dir, imgsz: int = 640) -> Optional[Dict[str, Any]]:
+    """Write the compiled model graph + cost analysis as run artifacts — the
+    TPU-native analog of the reference's TensorBoard graph logging
+    (models_manager.py:412-418 add_graph of a torch.jit.trace): XLA's lowered
+    StableHLO text (gzipped) and a cost-analysis JSON (FLOPs, bytes accessed,
+    per-model params).
+
+    Returns the cost dict (or None if lowering failed)."""
+    import gzip
+    import json
+    from pathlib import Path
+
+    from cerberusdet_tpu.nn.module import Ctx
+
+    save_dir = Path(save_dir)
+
+    def fwd(p, x):
+        out = model(p, x, Ctx(train=False))
+        return {t: pred for t, (pred, _f) in out.items()}
+
+    try:
+        x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+        lowered = jax.jit(fwd).lower(params, x)
+        with gzip.open(save_dir / "model_graph.stablehlo.txt.gz", "wt") as f:
+            f.write(lowered.as_text())
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        info = {
+            "imgsz": imgsz,
+            "params_m": model.num_params(params) / 1e6,
+            "flops": float(cost.get("flops", 0.0)) if cost else None,
+            "bytes_accessed": (float(cost.get("bytes accessed", 0.0))
+                               if cost else None),
+            "n_blocks": len(model.block_nodes) + len(model.task_ids),
+        }
+        (save_dir / "model_graph.cost.json").write_text(json.dumps(info, indent=1))
+        return info
+    except Exception:
+        return None
