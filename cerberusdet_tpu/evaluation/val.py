@@ -46,6 +46,57 @@ def scale_boxes_np(img1_shape, boxes, img0_shape, ratio_pad=None):
     return boxes
 
 
+def _merge_stats_across_processes(metrics, confusion, seen, dt, loss_accum,
+                                  n_batches):
+    """All-gather per-process val statistics so EVERY process computes the
+    full-set metrics. This is the multi-host val mode the reference lacks
+    (its standalone val is rank-0-only, val.py:132-433): each process
+    evaluates its host shard, then the raw (tp, conf, pred_cls, target_cls)
+    stat arrays — whose concatenation is order-independent for AP — are
+    exchanged. Ragged sizes are handled by gathering the per-process counts
+    first, padding to the max, and trimming after the gather."""
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    if jax.process_count() == 1:
+        return seen, dt, loss_accum, n_batches
+
+    if metrics.stats:
+        tp, conf, pred_cls, target_cls = [
+            np.concatenate(x, 0) for x in zip(*metrics.stats)]
+    else:
+        tp = np.zeros((0, len(IOUV)), bool)
+        conf = pred_cls = target_cls = np.zeros((0,), np.float32)
+    sizes = mh.process_allgather(
+        np.array([len(tp), len(target_cls)], np.int64))
+    max_n, max_m = int(sizes[:, 0].max()), int(sizes[:, 1].max())
+
+    def pad(a, n):
+        return np.concatenate(
+            [a, np.zeros((n - len(a),) + a.shape[1:], a.dtype)], 0)
+
+    g_tp = mh.process_allgather(pad(tp.astype(np.uint8), max_n))
+    g_conf = mh.process_allgather(pad(conf.astype(np.float32), max_n))
+    g_pred = mh.process_allgather(pad(pred_cls.astype(np.float32), max_n))
+    g_tgt = mh.process_allgather(pad(target_cls.astype(np.float32), max_m))
+    metrics.stats = [
+        (g_tp[p, :int(sizes[p, 0])].astype(bool),
+         g_conf[p, :int(sizes[p, 0])],
+         g_pred[p, :int(sizes[p, 0])],
+         g_tgt[p, :int(sizes[p, 1])])
+        for p in range(len(sizes))
+    ]
+    confusion.matrix = np.asarray(
+        mh.process_allgather(confusion.matrix.astype(np.float64)).sum(0))
+    scalars = mh.process_allgather(np.array(
+        [float(seen), *dt, *loss_accum, float(n_batches)], np.float64)).sum(0)
+    seen = int(scalars[0])
+    dt = scalars[1:4]
+    loss_accum = scalars[4:7]
+    n_batches = int(scalars[7])
+    return seen, dt, loss_accum, n_batches
+
+
 def _eval_forward(model: CerberusModel, task: str, compute_dtype):
     """Jitted single-task eval forward, cached on the model instance so that
     repeated val epochs (and rect-batch shape buckets) reuse XLA's compile
@@ -83,6 +134,7 @@ def run_task(
     single_cls: bool = False,
     use_multi_labels: bool = False,
     plots_dir=None,
+    distributed: bool = False,
 ) -> Dict[str, Any]:
     """Evaluate one task. Returns dict with results tuple
     (mp, mr, map50, map, box_l, cls_l, dfl_l), per-class maps, speed, fitness.
@@ -174,6 +226,12 @@ def run_task(
             if plots:
                 confusion.process_batch(det, labels_n)
 
+    if distributed:
+        # multi-host: merge host-shard statistics so the results below are
+        # the FULL validation set's on every process
+        seen, dt, loss_accum, n_batches = _merge_stats_across_processes(
+            metrics, confusion, seen, np.asarray(dt, np.float64), loss_accum,
+            n_batches)
     metrics.process()
     mp, mr, map50, mAP = metrics.mean_results()
     losses = loss_accum / max(n_batches, 1)

@@ -54,7 +54,18 @@ class CerberusDetInference:
         img_size: int = 640,
         half: bool = True,
         max_det: int = 300,
+        dtype=None,
+        int8: str = "off",
+        calib_batches=None,
     ):
+        """dtype overrides the half flag when given (e.g. jnp.float64 for
+        numeric-parity debugging with jax_enable_x64; params are kept fp32
+        and cast per-op).
+
+        int8: "off" | "deep" | "all" — post-training quantization of the
+        fused convs (quant/ptq.py); activation scales calibrated on
+        `calib_batches` (list of (B,H,W,3) float arrays in [0,1]; a gray
+        dummy batch is used when omitted — pass real data for best scales)."""
         if model is None:
             if weights is None:
                 raise ValueError("provide (model, params) or a weights path")
@@ -74,11 +85,29 @@ class CerberusDetInference:
         self.iou_thres_between_tasks = iou_thres_between_tasks
         self.max_det = max_det
         self.stride = int(max(model.strides))
-        self.compute_dtype = jnp.bfloat16 if half else jnp.float32
+        self.compute_dtype = (dtype if dtype is not None
+                              else jnp.bfloat16 if half else jnp.float32)
         self.categories_map, self.all_class_names = build_category_map(self.names)
         self.task_order = list(self.names.keys())
         # always run fused at inference (exact; reference fuses in attempt_load)
-        self.params = jax.device_put(model.fuse(params))
+        fused = model.fuse(params)
+        if int8 != "off":
+            from cerberusdet_tpu.quant import (
+                calibrate_amax,
+                quantize_params,
+                select_all,
+            )
+            from cerberusdet_tpu.quant.ptq import select_deep
+
+            if calib_batches is None:
+                calib_batches = [np.full((2, img_size, img_size, 3), 0.5,
+                                         np.float32)]
+            amax = calibrate_amax(model, fused, calib_batches,
+                                  dtype=self.compute_dtype)
+            fused = quantize_params(
+                fused, amax,
+                select=select_all if int8 == "all" else select_deep())
+        self.params = jax.device_put(fused)
         # params are a RUNTIME argument of the jitted program, never a traced
         # constant: closure-capturing them would serialize every weight into
         # the HLO (hundreds of MB for v8x — rejected by remote compile

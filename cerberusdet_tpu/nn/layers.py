@@ -53,11 +53,20 @@ class Conv(Layer):
         return {"w": init_conv_w(rng, self.k, self.c1, self.c2, self.g), "bn": init_bn(self.c2)}
 
     def __call__(self, p, x, ctx, path=()):
-        y = conv2d(x, p["w"], self.s, self.p, self.g, self.d, ctx.dtype)
-        if "bn" in p:
-            y = batch_norm(p["bn"], y, ctx, path + ("bn",))
-        elif "b" in p:
-            y = y + p["b"]
+        if ctx.taps is not None:
+            # PTQ calibration: record the input's absmax (quant/ptq.py)
+            ctx.taps[path] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        if "w_q" in p:
+            # int8 PTQ inference layout (quant/ptq.py)
+            from cerberusdet_tpu.nn.module import conv2d_int8
+
+            y = conv2d_int8(x, p, self.s, self.p, self.g, self.d)
+        else:
+            y = conv2d(x, p["w"], self.s, self.p, self.g, self.d, ctx.dtype)
+            if "bn" in p:
+                y = batch_norm(p["bn"], y, ctx, path + ("bn",))
+            elif "b" in p:
+                y = y + p["b"]
         if self.act:
             y = silu(y)
         return y.astype(ctx.dtype)

@@ -45,6 +45,9 @@ class Ctx:
         # a padded step computes EXACTLY the unpadded gradients
         self.img_mask = img_mask
         self.updates: Dict[Path, jnp.ndarray] = {}
+        # when not None, Conv layers record their input absmax here at trace
+        # time (PTQ calibration; see quant/ptq.py)
+        self.taps: Optional[Dict[Path, jnp.ndarray]] = None
 
     def put_update(self, path: Path, value) -> None:
         self.updates[path] = value
@@ -54,6 +57,8 @@ class Ctx:
                   freeze_bn_uids=self.freeze_bn_uids, img_mask=self.img_mask)
         new.__dict__.update(kw)
         new.updates = self.updates  # share the collector
+        if "taps" not in kw:
+            new.taps = self.taps
         return new
 
 
@@ -152,6 +157,35 @@ def conv2d(x, w, stride=1, padding=None, groups: int = 1,
         preferred_element_type=pet,
     )
     return y
+
+
+def conv2d_int8(x, p: Params, stride=1, padding=None, groups: int = 1,
+                dilation: int = 1):
+    """Quantized inference conv (PTQ layout from quant/ptq.py): activations
+    are quantized per-tensor symmetric to int8 on the fly, weights are
+    pre-quantized per-output-channel, the MXU accumulates in int32 (2x the
+    bf16 peak on TPU), and the result is dequantized into the fused bias add.
+
+    p: {"w_q" int8 HWIO, "s_w" (c2,) f32, "s_x" scalar f32, "b" (c2,) f32}.
+    """
+    w_q = p["w_q"]
+    kh, kw = w_q.shape[0], w_q.shape[1]
+    pad = autopad((kh, kw), padding, dilation)
+    ph, pw = (pad, pad) if isinstance(pad, int) else pad
+    sh, sw = (stride, stride) if isinstance(stride, int) else stride
+    inv_sx = 1.0 / p["s_x"]
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_sx), -127.0, 127.0)
+    y = jax.lax.conv_general_dilated(
+        x_q.astype(jnp.int8),
+        w_q,
+        window_strides=(sh, sw),
+        padding=[(ph, ph), (pw, pw)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (p["s_x"] * p["s_w"]) + p["b"]
 
 
 def batch_norm(p: Params, x, ctx: Ctx, path: Path, momentum: float = BN_MOMENTUM,

@@ -13,3 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env is set)
 
 jax.config.update("jax_platform_name", "cpu")
+
+# Persistent compile cache: the 640px golden-parity tests compile v8x-sized
+# fp64 programs (~5-10 min each on this 1-core host) — cache them across
+# pytest runs. Only programs that took >5s to compile are stored.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -143,6 +143,59 @@ def run_trainloop(pid: int, out_path: str):
     print(f"trainloop worker {pid} OK: {out}", flush=True)
 
 
+def make_val_dataset(root: Path, n: int = 16, nc: int = 2, size: int = 96):
+    """Deterministic tiny val set (same files on every host)."""
+    import cv2
+    import numpy as np
+    import yaml
+
+    rng = np.random.default_rng(11)
+    (root / "images" / "val").mkdir(parents=True, exist_ok=True)
+    (root / "labels" / "val").mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        cv2.imwrite(str(root / "images" / "val" / f"{i}.jpg"),
+                    rng.integers(0, 255, (size, size, 3), np.uint8))
+        c = int(rng.integers(0, nc))
+        (root / "labels" / "val" / f"{i}.txt").write_text(
+            f"{c} 0.5 0.5 0.4 0.4")
+    data = {"val": [str(root / "images" / "val")], "nc": [nc],
+            "names": [["a", "b"]], "task_ids": ["t1"]}
+    (root / "data.yaml").write_text(yaml.safe_dump(data))
+    return data
+
+
+def run_val(distributed: bool, data_root: Path):
+    """Standalone-val path: host-sharded loader + all-gathered stats.
+    Returns the quantities the test compares."""
+    import jax
+    import numpy as np
+
+    from cerberusdet_tpu.data.loaders import create_dataloader
+    from cerberusdet_tpu.evaluation.val import run_task
+    from cerberusdet_tpu.models.cerberus import CerberusModel
+
+    model = CerberusModel(str(REPO / "configs/models/yolov8n.yaml"), ["t1"], [2])
+    params = model.fuse(model.init(jax.random.PRNGKey(3)))
+    _, loader = create_dataloader(
+        str(data_root / "images" / "val"), imgsz=64, batch_size=4,
+        augment=False, shuffle=False, classnames=["a", "b"], task="t1_val",
+        host_sharded=distributed)
+    out = run_task(model, params, "t1", loader, nc=2, names=["a", "b"],
+                   conf_thres=0.001, iou_thres=0.6, plots=True,
+                   distributed=distributed)
+    m = out["metrics"]
+    n_pred = int(sum(len(s[0]) for s in m.stats))
+    n_gt = int(sum(len(s[3]) for s in m.stats))
+    return {
+        "seen": out["seen"],
+        "results": [float(x) for x in out["results"]],
+        "fitness": out["fitness"],
+        "n_pred_stats": n_pred,
+        "n_gt_stats": n_gt,
+        "confusion_sum": float(np.sum(out["confusion"].matrix)),
+    }
+
+
 def main():
     pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     mode = sys.argv[4] if len(sys.argv) > 4 else "step"
@@ -157,6 +210,15 @@ def main():
     sys.path.insert(0, str(REPO))
     if mode == "trainloop":
         run_trainloop(pid, out_path)
+        return
+    if mode == "val":
+        # sharded standalone val: data dir passed by the test (argv[5])
+        data_root = Path(sys.argv[5])
+        out = run_val(distributed=True, data_root=data_root)
+        out["process_index"] = pid
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+        print(f"val worker {pid} OK: {out}", flush=True)
         return
     import numpy as np
 

@@ -110,3 +110,53 @@ def test_two_process_full_trainloop(tmp_path):
     assert w0["fitness"] == pytest.approx(w1["fitness"], abs=1e-6)
     assert np.isfinite(w0["param_checksum"])
     assert w0["param_checksum"] == pytest.approx(w1["param_checksum"], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_val_equals_full_val(tmp_path):
+    """VERDICT r2 item 7: standalone val sharded across 2 processes (host-
+    sharded loader + all-gathered stats) must equal the single-process
+    full-set val — on BOTH processes (beyond the reference's rank-0-only
+    val, cerberusdet/val.py:132-433)."""
+    from tests.multihost_worker import make_val_dataset, run_val
+
+    data_root = tmp_path / "ds"
+    make_val_dataset(data_root)
+
+    port = _free_port()
+    outs = [tmp_path / f"v{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests/multihost_worker.py"),
+             str(i), str(port), str(outs[i]), "val", str(data_root)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append((p.returncode, out, err))
+    for rc, out, err in logs:
+        assert rc == 0, f"val worker failed (rc={rc}):\n{out}\n{err[-3000:]}"
+
+    w0, w1 = (json.loads(o.read_text()) for o in outs)
+    ref = run_val(distributed=False, data_root=data_root)
+
+    # the merged stats must be non-trivial for this test to discriminate
+    assert ref["n_gt_stats"] == 16
+    # both processes report the FULL set
+    for w in (w0, w1):
+        assert w["seen"] == ref["seen"] == 16
+        assert w["n_pred_stats"] == ref["n_pred_stats"]
+        assert w["n_gt_stats"] == ref["n_gt_stats"]
+        assert w["confusion_sum"] == pytest.approx(ref["confusion_sum"])
+        for a, b in zip(w["results"], ref["results"]):
+            assert a == pytest.approx(b, abs=1e-9)
+        assert w["fitness"] == pytest.approx(ref["fitness"], abs=1e-9)

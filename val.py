@@ -41,6 +41,10 @@ def parse_opt(argv=None):
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
                    help="debug override of the JAX backend (analog of the "
                         "reference's --device flag)")
+    p.add_argument("--int8", default="off", choices=["off", "deep", "all"],
+                   help="post-training int8 quantization of the fused convs "
+                        "(deep: c_in>=256 only); activation scales are "
+                        "calibrated on the first val batches (quant/ptq.py)")
     return p.parse_args(argv)
 
 
@@ -103,6 +107,30 @@ def speed_benchmark(model, params, imgsz: int, batch: int, bf16: bool):
     return {"ms_per_image": dt / batch * 1e3, "images_per_sec": batch / dt}
 
 
+def quantize_for_eval(model, params, data_dict, opt, n_calib_batches: int = 2):
+    """PTQ the fused params, calibrating activation scales on the first val
+    batches of task 0 (quant/ptq.py)."""
+    import jax.numpy as jnp
+
+    from cerberusdet_tpu.data.loaders import create_dataloader
+    from cerberusdet_tpu.quant import calibrate_amax, quantize_params, select_all
+    from cerberusdet_tpu.quant.ptq import select_deep
+
+    _, loader = create_dataloader(
+        data_dict["val"][0], imgsz=opt.imgsz, batch_size=min(opt.batch_size, 8),
+        augment=False, shuffle=False, classnames=data_dict["names"][0],
+        task="int8_calib", num_threads=opt.workers)
+    batches = []
+    for batch in loader:
+        batches.append(batch["img"].astype("float32") / 255.0)
+        if len(batches) >= n_calib_batches:
+            break
+    dtype = jnp.bfloat16 if opt.bf16 else jnp.float32
+    amax = calibrate_amax(model, params, batches, dtype=dtype)
+    select = select_all if opt.int8 == "all" else select_deep()
+    return quantize_params(params, amax, select=select)
+
+
 def main(argv=None):
     opt = parse_opt(argv)
     from cerberusdet_tpu.utils.checks import select_platform
@@ -120,6 +148,9 @@ def main(argv=None):
 
     save_dir = increment_path(Path(opt.project) / opt.name, opt.exist_ok)
     save_dir.mkdir(parents=True, exist_ok=True)
+
+    if opt.int8 != "off":
+        params = quantize_for_eval(model, params, data_dict, opt)
 
     if opt.task == "speed":
         out = speed_benchmark(model, params, opt.imgsz, opt.batch_size, opt.bf16)
@@ -145,12 +176,18 @@ def main(argv=None):
             soft_label=opt.use_soft_labels, single_cls=opt.single_cls,
             num_threads=opt.workers,
         )
+        import jax
+
         out = run_task(
             model, params, task, loader, nc=data_dict["nc"][ti],
             names=data_dict["names"][ti], conf_thres=opt.conf_thres,
             iou_thres=opt.iou_thres, max_det=opt.max_det, verbose=True,
             single_cls=opt.single_cls, use_multi_labels=opt.use_multi_labels,
             plots=True, plots_dir=save_dir,
+            # multi-process: the loader host-shards the val set and the raw
+            # stats are all-gathered — full-set metrics on every process
+            # (beyond the reference's rank-0-only standalone val)
+            distributed=jax.process_count() > 1,
         )
         results[task] = out
         mp, mr, map50, mAP = out["results"][:4]
