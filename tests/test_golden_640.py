@@ -231,7 +231,13 @@ def test_golden_640_e2e_detection_parity(crafted):
                           weights_only=False)["model"]
     finally:
         torch.load = _load
-    inf.model = raw_model.float().double().fuse().eval()
+    # the reference's fuse_conv_and_bn builds fresh nn.Conv2d modules in the
+    # DEFAULT dtype — set it to f64 so the fused weights are computed in f64
+    torch.set_default_dtype(torch.float64)
+    try:
+        inf.model = raw_model.float().double().fuse().eval()
+    finally:
+        torch.set_default_dtype(torch.float32)
     pre = RefPre(img_size=640, stride=inf.stride, auto=False)
     t = pre.preprocess([photo], torch.device("cpu")).double()
     ref_dets = inf.predict(t, original_shape=ORIG_SHAPE)[0]
