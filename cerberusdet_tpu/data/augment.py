@@ -54,13 +54,15 @@ def augment_hsv(im: np.ndarray, hgain: float = 0.5, sgain: float = 0.5,
     if hgain or sgain or vgain:
         u = np.array([rng.uniform(-1, 1) for _ in range(3)])
         r = u * [hgain, sgain, vgain] + 1
-        hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_RGB2HSV))
+        hsv = cv2.cvtColor(im, cv2.COLOR_RGB2HSV)
         x = np.arange(0, 256, dtype=r.dtype)
         lut_hue = ((x * r[0]) % 180).astype(im.dtype)
         lut_sat = np.clip(x * r[1], 0, 255).astype(im.dtype)
         lut_val = np.clip(x * r[2], 0, 255).astype(im.dtype)
-        im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
-        cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB, dst=im)
+        # one 3-channel LUT call == per-channel split/LUT/merge, minus the
+        # two extra full-image copies
+        lut3 = np.stack([lut_hue, lut_sat, lut_val], -1).reshape(1, 256, 3)
+        cv2.cvtColor(cv2.LUT(hsv, lut3), cv2.COLOR_HSV2RGB, dst=im)
     return im
 
 
@@ -153,15 +155,15 @@ def mixup(im: np.ndarray, labels: np.ndarray, im2: np.ndarray,
 
 def flip_lr(im: np.ndarray, boxes_xywhn: np.ndarray):
     """boxes_xywhn: (n, 4) normalized [cx, cy, w, h]."""
-    im = np.fliplr(im)
+    im = np.fliplr(im)  # view; the dataset's final ascontiguousarray copies once
     if len(boxes_xywhn):
         boxes_xywhn[:, 0] = 1 - boxes_xywhn[:, 0]
-    return np.ascontiguousarray(im), boxes_xywhn
+    return im, boxes_xywhn
 
 
 def flip_ud(im: np.ndarray, boxes_xywhn: np.ndarray):
     """boxes_xywhn: (n, 4) normalized [cx, cy, w, h]."""
-    im = np.flipud(im)
+    im = np.flipud(im)  # view; copied once at the dataset boundary
     if len(boxes_xywhn):
         boxes_xywhn[:, 1] = 1 - boxes_xywhn[:, 1]
-    return np.ascontiguousarray(im), boxes_xywhn
+    return im, boxes_xywhn

@@ -82,7 +82,7 @@ class DetectionDataset:
         classnames: Optional[Sequence[str]] = None,
         multi_label: bool = False,
         soft_label: bool = False,
-        cache_images: bool = False,
+        cache_images="",  # False/"" | True/"ram" | "disk" (packed memmap)
         task: str = "task",
         cache_dir: Optional[str] = None,
         seed: int = 0,
@@ -150,8 +150,11 @@ class DetectionDataset:
                 np.ceil(np.array(shapes) * imgsz / stride + pad).astype(int) * stride
             )
 
+        # cache_images: False | True/"ram" (decoded images in RAM) | "disk"
+        # (packed pre-decoded memmap — reference --cache-images disk analog)
+        cache_mode = {True: "ram", False: ""}.get(cache_images, cache_images or "")
         self._im_cache: Dict[int, Tuple[np.ndarray, Tuple[int, int], Tuple[int, int]]] = (
-            {} if cache_images else None
+            {} if cache_mode == "ram" else None
         )
         self._pixel_aug = PixelAugment()
         # Native DCT-scaled JPEG decode (cerberusdet_tpu/native): decodes big
@@ -159,11 +162,52 @@ class DetectionDataset:
         # for the augmented train path, OFF for eval (the reference protocol
         # decodes full-res — keep val bit-comparable); silent cv2 fallback.
         self.fast_decode = augment if fast_decode is None else fast_decode
+        self._pack = None
+        if cache_mode == "disk":
+            self._pack = self._build_pack(cache_path.parent)
 
     def set_epoch(self, epoch: int):
         """Advance the augmentation RNG stream (per-epoch variety while
         staying deterministic under any loader thread schedule)."""
         self.epoch = epoch
+
+    # ------------------------------------------------------- packed cache
+    def _build_pack(self, cache_dir: Path):
+        """Packed pre-decoded image cache: ONE memmapped uint8 array of
+        (n, imgsz, imgsz, 3) slots holding every image already resized to
+        longest-side==imgsz, built once and reused across epochs/runs.
+
+        TPU-first take on the reference's disk cache (datasets.py:293-304
+        saves one .npy per image): a single contiguous file gives the OS
+        page cache sequential layout, and __getitem__ becomes a memcpy —
+        the per-epoch JPEG decode (the dominant augmented-loader cost on a
+        weak host) disappears. Keyed by (file list+sizes, imgsz); rebuilt
+        when either changes."""
+        from cerberusdet_tpu.data.labels import get_hash
+
+        pack_path = Path(cache_dir) / f"{self.task}.pack{self.imgsz}.npy"
+        meta_path = Path(cache_dir) / f"{self.task}.pack{self.imgsz}.meta.npz"
+        want = get_hash(self.img_files)
+        if pack_path.exists() and meta_path.exists():
+            meta = np.load(meta_path, allow_pickle=False)
+            if str(meta["hash"]) == want and int(meta["n"]) == self.n:
+                arr = np.lib.format.open_memmap(pack_path, mode="r")
+                return arr, meta["hw0"], meta["hw"]
+        arr = np.lib.format.open_memmap(
+            pack_path, mode="w+", dtype=np.uint8,
+            shape=(self.n, self.imgsz, self.imgsz, 3))
+        hw0 = np.zeros((self.n, 2), np.int32)
+        hw = np.zeros((self.n, 2), np.int32)
+        for i in range(self.n):
+            im, (h0, w0), (h, w) = self._decode_image(i)
+            arr[i, :h, :w] = im
+            hw0[i] = (h0, w0)
+            hw[i] = (h, w)
+        arr.flush()
+        np.savez(meta_path, hash=want, n=self.n, hw0=hw0, hw=hw)
+        print(f"{self.task}: packed {self.n} images -> {pack_path} "
+              f"({arr.nbytes / 1e9:.2f} GB)")
+        return np.lib.format.open_memmap(pack_path, mode="r"), hw0, hw
 
     def __len__(self) -> int:
         return self.n
@@ -173,6 +217,21 @@ class DetectionDataset:
         """Load + resize longest side to imgsz. Returns (im RGB, (h0, w0), (h, w))."""
         if self._im_cache is not None and i in self._im_cache:
             return self._im_cache[i]
+        if self._pack is not None:
+            arr, hw0, hw = self._pack
+            h, w = int(hw[i, 0]), int(hw[i, 1])
+            # read-only memmap VIEW: every downstream consumer (mosaic paint,
+            # letterbox copyMakeBorder, warpAffine) allocates before any
+            # in-place mutation, and the mode="r" mapping turns accidental
+            # writes into hard errors rather than cache corruption
+            return arr[i, :h, :w], (int(hw0[i, 0]), int(hw0[i, 1])), (h, w)
+        out = self._decode_image(i)
+        if self._im_cache is not None:
+            self._im_cache[i] = out
+        return out
+
+    def _decode_image(self, i: int):
+        """The raw decode+resize path (no caches)."""
         im = None
         h0 = w0 = 0
         if self.fast_decode:
@@ -192,10 +251,7 @@ class DetectionDataset:
         if im.shape[1::-1] != target:
             interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
             im = cv2.resize(im, target, interpolation=interp)
-        out = (im, (h0, w0), im.shape[:2])
-        if self._im_cache is not None:
-            self._im_cache[i] = out
-        return out
+        return im, (h0, w0), im.shape[:2]
 
     # -------------------------------------------------------------- mosaic
     def load_mosaic(self, index: int, rng=random):

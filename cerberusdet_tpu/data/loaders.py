@@ -272,7 +272,7 @@ def create_dataloader(
     seed: int = 0,
     host_sharded: bool = True,
     cache_dir: Optional[str] = None,
-    cache_images: bool = False,
+    cache_images="",  # False/"" | True/"ram" | "disk"
     num_threads: Optional[int] = None,
     single_cls: bool = False,
     fast_decode: Optional[bool] = None,

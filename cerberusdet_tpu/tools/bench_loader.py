@@ -44,7 +44,8 @@ def make_dataset(root: Path, n_images: int, size: int):
 
 
 def run(imgsz: int, n: int, threads, augment: bool, batch: int = 32,
-        src_size: int = 0, fast_decode=None, num_workers: int = 0):
+        src_size: int = 0, fast_decode=None, num_workers: int = 0,
+        cache_images=""):
     from cerberusdet_tpu.data.loaders import create_dataloader
 
     with tempfile.TemporaryDirectory() as td:
@@ -53,7 +54,7 @@ def run(imgsz: int, n: int, threads, augment: bool, batch: int = 32,
             path, imgsz=imgsz, batch_size=batch, augment=augment,
             hyp=AUG_HYP if augment else None, task="bench", seed=0,
             host_sharded=False, num_threads=threads, fast_decode=fast_decode,
-            num_workers=num_workers)
+            num_workers=num_workers, cache_images=cache_images)
         it = iter(loader)
         next(it)  # warm the pipeline (thread pool spin-up, cv2 init)
         seen = 0
@@ -83,6 +84,8 @@ def main(argv=None):
                    default="auto",
                    help="native DCT-scaled JPEG decode: auto = dataset "
                         "default (on when augmenting), on/off = force")
+    p.add_argument("--cache-images", default="", choices=["", "ram", "disk"],
+                   help="decoded-image cache mode (disk = packed memmap)")
     p.add_argument("--proc-workers", type=int, default=0,
                    help="decode/augment in N worker PROCESSES instead of "
                         "threads (the reference's torch-DataLoader model)")
@@ -90,7 +93,7 @@ def main(argv=None):
     fast = {"auto": None, "on": True, "off": False}[args.fast_decode]
     rate = run(args.imgsz, args.n, args.threads, not args.no_aug,
                src_size=args.src_size, fast_decode=fast,
-               num_workers=args.proc_workers)
+               num_workers=args.proc_workers, cache_images=args.cache_images)
     print(json.dumps({
         "imgs_per_sec": round(rate, 1),
         "threads": args.threads or "auto",
@@ -98,6 +101,7 @@ def main(argv=None):
         "imgsz": args.imgsz,
         "src_size": args.src_size or args.imgsz,
         "fast_decode": args.fast_decode,
+        "cache_images": args.cache_images,
     }))
     return rate
 

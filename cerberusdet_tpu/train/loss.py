@@ -14,6 +14,7 @@ loss.py:158-161 where gt_probs is split out and unused).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, NamedTuple, Sequence
 
 import jax
@@ -49,13 +50,34 @@ class DetectionLoss:
 
     def __init__(self, nc: int, strides: Sequence[float], box_w: float = 7.5,
                  cls_w: float = 0.5, dfl_w: float = 1.5, reg_max: int = 16,
-                 topk: int = 10, alpha: float = 0.5, beta: float = 6.0):
+                 topk: int = 10, alpha: float = 0.5, beta: float = 6.0,
+                 tal_impl: str = "auto"):
+        """tal_impl: "auto" | "xla" | "pallas". The Pallas assigner
+        (ops/tal_pallas.py) keeps the (M, N) assignment plane in VMEM —
+        auto selects it on TPU backends, the XLA formulation elsewhere."""
         self.nc = nc
         self.reg_max = reg_max
         self.no = nc + 4 * reg_max
         self.strides = tuple(strides)
         self.weights = dict(box=box_w, cls=cls_w, dfl=dfl_w)
-        self.assigner = TaskAlignedAssigner(topk=topk, num_classes=nc, alpha=alpha, beta=beta)
+        if tal_impl == "auto":
+            import jax
+
+            tal_impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                        else "xla")
+        if tal_impl == "pallas":
+            import jax
+
+            from cerberusdet_tpu.ops.tal_pallas import assign_pallas
+
+            # interpret mode lets the pallas path run (slowly) on CPU — used
+            # by the equality tests; on TPU the kernel compiles natively
+            self.assigner = functools.partial(
+                assign_pallas, topk=topk, num_classes=nc, alpha=alpha,
+                beta=beta, interpret=jax.default_backend() == "cpu")
+        else:
+            self.assigner = TaskAlignedAssigner(topk=topk, num_classes=nc,
+                                                alpha=alpha, beta=beta)
 
     def __call__(self, feats: List[jnp.ndarray], batch: Dict[str, jnp.ndarray]):
         """

@@ -54,7 +54,7 @@ class TrainOptions:
     labels_from_xml: bool = False
     use_multi_labels: bool = False
     use_soft_labels: bool = False
-    cache_images: bool = False
+    cache_images: str = ""  # "" | "ram" | "disk" (packed memmap)
     single_cls: bool = False               # train multi-class data as one class
     workers: Optional[int] = None          # loader decode threads (--workers)
     proc_workers: int = 0                  # decode/augment worker PROCESSES

@@ -258,3 +258,52 @@ def test_epochs_vary_order_and_augmentation(toy_dataset):
     # same epoch twice IS identical (determinism preserved)
     b0b = first_batch(0)
     np.testing.assert_array_equal(b0["img"], b0b["img"])
+
+
+def test_packed_disk_cache_equivalence_and_reuse(tmp_path):
+    """VERDICT r2 item 5: cache_images="disk" packs pre-decoded images into
+    one memmap; samples are identical to the decode path, and the pack is
+    reused (not rebuilt) on re-open with unchanged inputs."""
+    import time
+
+    import cv2
+    import numpy as np
+
+    from cerberusdet_tpu.data.dataset import DetectionDataset
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "labels" / "train").mkdir(parents=True)
+    for i in range(6):
+        h, w = int(rng.integers(40, 120)), int(rng.integers(40, 120))
+        cv2.imwrite(str(tmp_path / "images" / "train" / f"{i}.jpg"),
+                    rng.integers(0, 255, (h, w, 3), np.uint8))
+        (tmp_path / "labels" / "train" / f"{i}.txt").write_text(
+            "0 0.5 0.5 0.4 0.4")
+    path = str(tmp_path / "images" / "train")
+    hyp = dict(mosaic=1.0, mixup=0.2, translate=0.1, scale=0.5, fliplr=0.5,
+               hsv_h=0.015, hsv_s=0.7, hsv_v=0.4)
+
+    plain = DetectionDataset(path, imgsz=64, augment=True, hyp=hyp,
+                             task="pk", seed=3)
+    packed = DetectionDataset(path, imgsz=64, augment=True, hyp=hyp,
+                              task="pk", seed=3, cache_images="disk")
+    pack_file = tmp_path / "labels" / "train" / "pk.pack64.npy"
+    assert pack_file.exists()
+    for ds in (plain, packed):
+        ds.set_epoch(1)
+    for i in range(6):
+        a_img, a_lb, _ = plain[i]
+        b_img, b_lb, _ = packed[i]
+        np.testing.assert_array_equal(a_img, b_img)
+        np.testing.assert_array_equal(a_lb, b_lb)
+
+    # reuse: reopening must NOT rewrite the pack
+    mtime = pack_file.stat().st_mtime_ns
+    DetectionDataset(path, imgsz=64, augment=True, hyp=hyp, task="pk",
+                     seed=3, cache_images="disk")
+    assert pack_file.stat().st_mtime_ns == mtime
+    # a different imgsz builds its own pack
+    DetectionDataset(path, imgsz=96, augment=False, task="pk",
+                     cache_images="disk")
+    assert (tmp_path / "labels" / "train" / "pk.pack96.npy").exists()

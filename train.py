@@ -39,7 +39,11 @@ def parse_opt(argv=None):
     p.add_argument("--labels-from-xml", action="store_true")
     p.add_argument("--use-multi-labels", action="store_true")
     p.add_argument("--use-soft-labels", action="store_true")
-    p.add_argument("--cache-images", action="store_true")
+    p.add_argument("--cache-images", nargs="?", const="ram", default="",
+                   choices=["", "ram", "disk"],
+                   help="cache decoded images: ram (reference default form) "
+                        "or disk (packed pre-decoded memmap, skips per-epoch "
+                        "JPEG decode)")
     p.add_argument("--single-cls", action="store_true",
                    help="train multi-class data as single-class")
     p.add_argument("--workers", type=int, default=None,
