@@ -42,9 +42,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _ciou(gtb, pdb, eps: float = 1e-7):
+def _ciou(gtb, pdb, at_gt, at_pd, eps: float = 1e-7):
     """CIoU of (MT, 4) gt rows vs (4, N) preds -> (MT, N). Formula matches
-    ops/boxes.bbox_iou(CIoU=True) term for term."""
+    ops/boxes.bbox_iou(CIoU=True) term for term.
+
+    at_gt (MT, 1) / at_pd (1, N): arctan(w/h) of each gt / pred box,
+    precomputed in XLA — the arctan terms are per-ENTITY, not per-pair, and
+    Mosaic has no atan primitive; hoisting them keeps the kernel values
+    bit-identical to the XLA formulation."""
     b1x1, b1y1 = gtb[:, 0:1], gtb[:, 1:2]
     b1x2, b1y2 = gtb[:, 2:3], gtb[:, 3:4]
     b2x1, b2y1, b2x2, b2y2 = pdb[0:1], pdb[1:2], pdb[2:3], pdb[3:4]
@@ -59,14 +64,14 @@ def _ciou(gtb, pdb, eps: float = 1e-7):
     c2 = cw**2 + ch**2 + eps
     rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2
             + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
-    v = (4 / jnp.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    v = (4 / jnp.pi**2) * (at_pd - at_gt) ** 2
     alpha = v / (v - iou + (1 + eps))
     return iou - (rho2 / c2 + v * alpha)
 
 
-def _tile_plane(scores, gtb, pdb, anc, alpha, beta, eps):
+def _tile_plane(scores, gtb, pdb, anc, at_gt, at_pd, alpha, beta, eps):
     """Shared tile math: (overlaps, align*in_gts metrics, in_gts) (MT, N)."""
-    overlaps = jnp.clip(_ciou(gtb, pdb), 0.0)
+    overlaps = jnp.clip(_ciou(gtb, pdb, at_gt, at_pd), 0.0)
     align = scores**alpha * overlaps**beta
     lt_x = anc[0:1] - gtb[:, 0:1]
     lt_y = anc[1:2] - gtb[:, 1:2]
@@ -94,8 +99,8 @@ def _topk_sel(metrics, k: int):
     return sel
 
 
-def _pass1_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, valid_ref,
-                  fg_ref, ovval_ref, ovidx_ref, first_ref,
+def _pass1_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, atg_ref, atp_ref,
+                  valid_ref, fg_ref, ovval_ref, ovidx_ref, first_ref,
                   *, m_real: int, topk: int, alpha: float, beta: float,
                   eps: float):
     mt = pl.program_id(1)
@@ -106,6 +111,8 @@ def _pass1_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, valid_ref,
         ovval_ref[...] = jnp.full_like(ovval_ref, -_BIG)
         ovidx_ref[...] = jnp.zeros_like(ovidx_ref)
         first_ref[...] = jnp.full_like(first_ref, 2**30)
+    # accumulator refs are (1, 1, N) blocks (TPU tiling needs the dummy
+    # sublane dim); address the (N,) row as ref[0, 0]
 
     scores = scores_ref[0]          # (MT, N)
     gtb = gtb_ref[0]                # (MT, 4)
@@ -113,8 +120,9 @@ def _pass1_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, valid_ref,
     anc = anc_ref[...]              # (2, N)
     valid = valid_ref[0] > 0        # (MT, 1)
 
-    overlaps, align, in_gts = _tile_plane(scores, gtb, pdb, anc, alpha, beta,
-                                          eps)
+    overlaps, align, in_gts = _tile_plane(scores, gtb, pdb, anc,
+                                          atg_ref[0], atp_ref[0, 0][None],
+                                          alpha, beta, eps)
     sel = _topk_sel(align * in_gts, topk)
     mask_pos = jnp.logical_and(jnp.logical_and(sel, in_gts), valid)
 
@@ -122,7 +130,7 @@ def _pass1_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, valid_ref,
             + mt * overlaps.shape[0])
     real_row = mrow < m_real
 
-    fg_ref[0] += jnp.sum(mask_pos.astype(jnp.int32), axis=0)
+    fg_ref[0, 0] += jnp.sum(mask_pos.astype(jnp.int32), axis=0)
 
     # global argmax-over-gts of overlaps, first-occurrence semantics:
     # within-tile first max, then strictly-greater beats earlier tiles
@@ -130,17 +138,17 @@ def _pass1_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, valid_ref,
     tile_max = jnp.max(ov, axis=0)
     tile_arg = jnp.min(jnp.where(ov == tile_max[None, :], mrow, 2**30),
                        axis=0)
-    better = tile_max > ovval_ref[0]
-    ovidx_ref[0] = jnp.where(better, tile_arg, ovidx_ref[0])
-    ovval_ref[0] = jnp.maximum(ovval_ref[0], tile_max)
+    better = tile_max > ovval_ref[0, 0]
+    ovidx_ref[0, 0] = jnp.where(better, tile_arg, ovidx_ref[0, 0])
+    ovval_ref[0, 0] = jnp.maximum(ovval_ref[0, 0], tile_max)
 
-    first_ref[0] = jnp.minimum(
-        first_ref[0], jnp.min(jnp.where(mask_pos, mrow, 2**30), axis=0))
+    first_ref[0, 0] = jnp.minimum(
+        first_ref[0, 0], jnp.min(jnp.where(mask_pos, mrow, 2**30), axis=0))
 
 
-def _pass2_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, tgt_ref, fg_ref,
-                  norm_ref, *, alpha: float, beta: float, eps: float,
-                  assign_eps: float):
+def _pass2_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, atg_ref, atp_ref,
+                  tgt_ref, fg_ref, norm_ref, *, alpha: float, beta: float,
+                  eps: float, assign_eps: float):
     mt = pl.program_id(1)
 
     @pl.when(mt == 0)
@@ -151,10 +159,12 @@ def _pass2_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, tgt_ref, fg_ref,
     gtb = gtb_ref[0]
     pdb = pdb_ref[0]
     anc = anc_ref[...]
-    tgt = tgt_ref[0]                # (N,) int32 resolved gt per anchor
-    fg = fg_ref[0] > 0              # (N,) bool
+    tgt = tgt_ref[0, 0]             # (N,) int32 resolved gt per anchor
+    fg = fg_ref[0, 0] > 0           # (N,) bool
 
-    overlaps, align, _ = _tile_plane(scores, gtb, pdb, anc, alpha, beta, eps)
+    overlaps, align, _ = _tile_plane(scores, gtb, pdb, anc,
+                                     atg_ref[0], atp_ref[0, 0][None],
+                                     alpha, beta, eps)
     mrow = (jax.lax.broadcasted_iota(jnp.int32, overlaps.shape, 0)
             + mt * overlaps.shape[0])
     mask_pos = jnp.logical_and(fg[None, :], tgt[None, :] == mrow)
@@ -164,7 +174,7 @@ def _pass2_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, tgt_ref, fg_ref,
     pos_ov = jnp.max(jnp.where(mask_pos, overlaps, 0.0), axis=1,
                      keepdims=True)
     contrib = am * pos_ov / (pos_align + assign_eps)
-    norm_ref[0] = jnp.maximum(norm_ref[0], jnp.max(contrib, axis=0))
+    norm_ref[0, 0] = jnp.maximum(norm_ref[0, 0], jnp.max(contrib, axis=0))
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "num_classes", "alpha",
@@ -194,6 +204,15 @@ def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
                   constant_values=-1.0e6)                      # (2, N)
     valid = jnp.pad(mask_gt.astype(jnp.float32)[..., None],
                     ((0, 0), (0, mp - m), (0, 0)))             # (B, MP, 1)
+    # arctan(w/h) per box, computed in XLA (Mosaic lacks atan); eps matches
+    # bbox_iou's h+eps convention so the kernel values are bit-identical
+    ciou_eps = 1e-7
+    at_gt = jnp.arctan(
+        (gtb[..., 2] - gtb[..., 0])
+        / (gtb[..., 3] - gtb[..., 1] + ciou_eps))[..., None]   # (B, MP, 1)
+    at_pd = jnp.arctan(
+        (pdb[:, 2] - pdb[:, 0]) / (pdb[:, 3] - pdb[:, 1] + ciou_eps)
+    )[:, None, :]                                              # (B, 1, NP)
 
     grid = (b, mtiles)
     tile_specs = [
@@ -201,8 +220,12 @@ def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
         pl.BlockSpec((1, _MT, 4), lambda bi, mi: (bi, mi, 0)),     # gt boxes
         pl.BlockSpec((1, 4, np_), lambda bi, mi: (bi, 0, 0)),      # pd boxes
         pl.BlockSpec((2, np_), lambda bi, mi: (0, 0)),             # anchors
+        pl.BlockSpec((1, _MT, 1), lambda bi, mi: (bi, mi, 0)),     # atan gt
+        pl.BlockSpec((1, 1, np_), lambda bi, mi: (bi, 0, 0)),      # atan pd
     ]
-    acc_spec = pl.BlockSpec((1, np_), lambda bi, mi: (bi, 0))
+    # (B, 1, Np) with a unit sublane dim: TPU block shapes need the last
+    # two dims (8-divisible or full); (1, Np) rows are neither
+    acc_spec = pl.BlockSpec((1, 1, np_), lambda bi, mi: (bi, 0, 0))
 
     fg1, ovval, ovidx, first = pl.pallas_call(
         functools.partial(_pass1_kernel, m_real=m, topk=topk, alpha=alpha,
@@ -213,13 +236,14 @@ def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
         ],
         out_specs=[acc_spec] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct((b, np_), jnp.int32),    # fg count
-            jax.ShapeDtypeStruct((b, np_), jnp.float32),  # best overlap
-            jax.ShapeDtypeStruct((b, np_), jnp.int32),    # best-overlap gt
-            jax.ShapeDtypeStruct((b, np_), jnp.int32),    # first positive gt
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),    # fg count
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),  # best overlap
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),    # best-overlap gt
+            jax.ShapeDtypeStruct((b, 1, np_), jnp.int32),    # first positive gt
         ],
         interpret=interpret,
-    )(bbox_scores, gtb, pdb, anc, valid)
+    )(bbox_scores, gtb, pdb, anc, at_gt, at_pd, valid)
+    fg1, ovval, ovidx, first = (x[:, 0] for x in (fg1, ovval, ovidx, first))
 
     multi = fg1 > 1
     fg = fg1 > 0
@@ -232,9 +256,10 @@ def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
         grid=grid,
         in_specs=tile_specs + [acc_spec, acc_spec],
         out_specs=acc_spec,
-        out_shape=jax.ShapeDtypeStruct((b, np_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
         interpret=interpret,
-    )(bbox_scores, gtb, pdb, anc, target_gt_idx, fg1)
+    )(bbox_scores, gtb, pdb, anc, at_gt, at_pd,
+      target_gt_idx[:, None], fg1[:, None])[:, 0]
 
     target_gt_idx = target_gt_idx[:, :n]
     fg = fg[:, :n]
