@@ -36,17 +36,22 @@ def calibrate_amax(model, fused_params: Params, batches: Sequence,
     Conv's input absmax. Returns {conv-path: amax} (host floats, max over
     batches)."""
 
+    keys: list = []
+
     def run(p, x):
         ctx = Ctx(train=False, dtype=dtype)
         ctx.taps = {}
         model(p, x, ctx)
-        return ctx.taps
+        keys[:] = sorted(ctx.taps)
+        # ONE stacked output: fetching ~100 separate scalars costs a host
+        # round-trip each on remote-relay backends
+        return jnp.stack([ctx.taps[k] for k in keys])
 
     jrun = jax.jit(run)
     amax: Dict[Path, float] = {}
     for b in batches:
-        taps = jax.device_get(jrun(fused_params, jnp.asarray(b)))
-        for k, v in taps.items():
+        vals = np.asarray(jrun(fused_params, jnp.asarray(b)))
+        for k, v in zip(keys, vals):
             amax[k] = max(amax.get(k, 0.0), float(v))
     return amax
 
