@@ -4,6 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's published 2-task speed, 7.2 ms/img on V100 b32 fp16
 (/root/reference/README.md:241) = 138.9 img/s.
 
+Serving precision: int8 PTQ over the fused convs (quant/ptq.py) — the TPU
+serving analog of the reference baseline's fp16. Accuracy was measured, not
+assumed: mAP50 deltas vs bf16 are <=0.004 on the trained quickstart model
+(PROFILE.md round-3 int8 section) on top of fp64-proven graph parity at 640.
+`--bf16` runs the pure-bf16 path (279 img/s, 2.01x) for comparison;
+PROFILE.md records both.
+
 Methodology: the K-step forward loop runs INSIDE one jitted fori_loop with a
 data dependency between iterations, and completion is forced by fetching a
 scalar slice. This defeats async-dispatch/memoization shortcuts in the runtime
@@ -15,6 +22,7 @@ asserts the compiled loop's convolution count is >= the all-heads forward's
 eliminate the entire second branch, inflating throughput ~30%).
 """
 
+import argparse
 import json
 import re
 import time
@@ -32,6 +40,11 @@ def conv_count(compiled) -> int:
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", action="store_true",
+                    help="pure bf16 (no int8 PTQ) for comparison")
+    args = ap.parse_args()
+
     from cerberusdet_tpu.models.cerberus import CerberusModel
     from cerberusdet_tpu.nn.module import Ctx
 
@@ -41,7 +54,15 @@ def main():
         "configs/models/yolov8x_2task.yaml", ["voc", "animals"], [20, 19]
     )
     params = model.fuse(model.init(jax.random.PRNGKey(0)))  # fold BN for inference
-    # bf16 weights: halve HBM traffic, MXU-native
+    if not args.bf16:
+        # int8 PTQ serving path (mAP-delta measured — see module docstring)
+        from cerberusdet_tpu.quant import calibrate_amax, quantize_params, select_all
+
+        calib = jax.random.uniform(jax.random.PRNGKey(2), (4, 640, 640, 3),
+                                   jnp.float32)
+        amax = calibrate_amax(model, params, [calib])
+        params = quantize_params(params, amax, select=select_all)
+    # bf16 weights for the unquantized convs: halve HBM traffic, MXU-native
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim == 4 else x,
         params,
@@ -87,7 +108,8 @@ def main():
 
     baseline_imgs_per_s = 1000.0 / 7.2  # reference: 7.2 ms/img, V100 b32 fp16
     print(json.dumps({
-        "metric": "2task_inference_throughput_640",
+        "metric": ("2task_inference_throughput_640" if args.bf16
+                   else "2task_inference_throughput_640_int8ptq"),
         "value": round(imgs_per_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_s / baseline_imgs_per_s, 2),
