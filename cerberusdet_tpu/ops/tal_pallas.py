@@ -177,13 +177,10 @@ def _pass2_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, atg_ref, atp_ref,
     norm_ref[0, 0] = jnp.maximum(norm_ref[0, 0], jnp.max(contrib, axis=0))
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "num_classes", "alpha",
-                                             "beta", "eps", "interpret"))
-def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
-                  mask_gt, topk: int = 10, num_classes: int = 80,
-                  alpha: float = 0.5, beta: float = 6.0, eps: float = 1e-9,
-                  interpret: bool = False) -> AssignResult:
-    """Drop-in replacement for TaskAlignedAssigner.__call__ (train/tal.py)."""
+def _assign_impl(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
+                 mask_gt, *, topk: int, alpha: float, beta: float,
+                 eps: float, interpret: bool):
+    """The per-shard assignment computation (see assign_pallas)."""
     b, n, nc = pd_scores.shape
     m = gt_labels.shape[1]
     np_ = _round_up(n, 128)
@@ -272,5 +269,52 @@ def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
     target_scores = jnp.where(fg[:, :, None], target_scores, 0.0)
     target_scores = target_scores * norm[:, :, None].astype(pd_scores.dtype)
 
-    out = (target_labels, target_bboxes, target_scores, fg, target_gt_idx)
+    return (target_labels, target_bboxes, target_scores, fg, target_gt_idx)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_assign(topk: int, alpha: float, beta: float, eps: float,
+                        interpret: bool):
+    """custom_partitioning wrapper: the assignment is independent per image,
+    so under a data-parallel mesh each device must run the kernels on ITS
+    batch shard. Without this rule GSPMD treats the pallas custom-calls as
+    replicated and all-gathers the (B, N, nc) scores to every chip."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt):
+        return _assign_impl(pd_scores, pd_bboxes, anc_points, gt_labels,
+                            gt_bboxes, mask_gt, topk=topk, alpha=alpha,
+                            beta=beta, eps=eps, interpret=interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec = getattr(arg_shapes[0].sharding, "spec", None)
+        b_axis = spec[0] if spec else None
+
+        def sh(rank):
+            return NamedSharding(mesh, P(*([b_axis] + [None] * (rank - 1))))
+
+        arg_sh = (sh(3), sh(3), NamedSharding(mesh, P()), sh(2), sh(3), sh(2))
+        out_sh = (sh(2), sh(3), sh(3), sh(2), sh(2))
+        return mesh, impl, out_sh, arg_sh
+
+    # batch dim `b` propagates; n/m/c/f/t dims stay whole per shard
+    f.def_partition(
+        partition=partition,
+        sharding_rule="b n c, b n f, n t, b m, b m f, b m "
+                      "-> b n, b n f, b n c, b n, b n")
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "num_classes", "alpha",
+                                             "beta", "eps", "interpret"))
+def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
+                  mask_gt, topk: int = 10, num_classes: int = 80,
+                  alpha: float = 0.5, beta: float = 6.0, eps: float = 1e-9,
+                  interpret: bool = False) -> AssignResult:
+    """Drop-in replacement for TaskAlignedAssigner.__call__ (train/tal.py)."""
+    f = _partitioned_assign(topk, alpha, beta, eps, interpret)
+    out = f(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt)
     return AssignResult(*[jax.lax.stop_gradient(t) for t in out])

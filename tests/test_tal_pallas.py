@@ -119,3 +119,29 @@ def test_loss_with_pallas_tal_matches_xla():
         np.testing.assert_allclose(float(getattr(items_x, f)),
                                    float(getattr(items_p, f)), rtol=1e-5,
                                    err_msg=f)
+
+
+def test_pallas_assigner_partitions_over_mesh():
+    """Under a data-parallel mesh the assigner must run per batch shard
+    (custom_partitioning rule): results equal the unsharded run and the
+    compiled HLO contains NO all-gather of the (B, N, nc) inputs."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    scene = _random_scene(11, B=8, N=256, NC=7, M=12)
+    ref = assign_pallas(*scene, topk=10, num_classes=7, interpret=True)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    def shard(x, batched=True):
+        spec = P("data") if batched else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    sharded = tuple(shard(x, batched=(i != 2)) for i, x in enumerate(scene))
+    fn = jax.jit(lambda *a: assign_pallas(*a, topk=10, num_classes=7,
+                                          interpret=True))
+    out = fn(*sharded)
+    for name in ref._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(ref, name)),
+                                      np.asarray(getattr(out, name)),
+                                      err_msg=name)
+    hlo = fn.lower(*sharded).compile().as_text()
+    assert "all-gather" not in hlo, "assigner inputs were all-gathered"
