@@ -20,12 +20,18 @@ def test_check_version():
 
 
 def test_check_dataset_missing(tmp_path):
+    """Reference semantics (general.py:130-170): VAL paths are what gets
+    verified (train problems surface at dataloader build); 'nc' required."""
     from cerberusdet_tpu.utils.checks import check_dataset
 
     with pytest.raises(FileNotFoundError):
-        check_dataset({"train": [str(tmp_path / "nope")], "val": []})
+        check_dataset({"val": [str(tmp_path / "nope")], "nc": [1],
+                       "names": [["x"]]})
     (tmp_path / "ok").mkdir()
-    check_dataset({"train": [str(tmp_path / "ok")], "val": []})
+    check_dataset({"train": [str(tmp_path / "nope_is_fine")],
+                   "val": [str(tmp_path / "ok")], "nc": [1], "names": [["x"]]})
+    with pytest.raises(AssertionError):
+        check_dataset({"val": [str(tmp_path / "ok")]})  # nc missing
 
 
 def test_mlflow_gated_noop():
