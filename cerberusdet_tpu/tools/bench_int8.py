@@ -60,14 +60,16 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--min-cin", type=int, default=256)
+    ap.add_argument("--cfg", default="configs/models/yolov8x_2task.yaml")
+    ap.add_argument("--nc", default="20,19", help="per-task class counts")
     args = ap.parse_args()
 
     from cerberusdet_tpu.models.cerberus import CerberusModel
     from cerberusdet_tpu.quant import calibrate_amax, quantize_params, select_all
     from cerberusdet_tpu.quant.ptq import select_deep
 
-    model = CerberusModel(
-        "configs/models/yolov8x_2task.yaml", ["voc", "animals"], [20, 19])
+    ncs = [int(x) for x in args.nc.split(",")]
+    model = CerberusModel(args.cfg, [f"t{i}" for i in range(len(ncs))], ncs)
     fused = model.fuse(model.init(jax.random.PRNGKey(0)))
 
     def bf16_weights(p):
