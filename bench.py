@@ -24,7 +24,6 @@ eliminate the entire second branch, inflating throughput ~30%).
 
 import argparse
 import json
-import re
 import time
 from functools import partial
 
@@ -33,10 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def conv_count(compiled) -> int:
-    """Number of convolution ops in a compiled executable's HLO."""
-    txt = compiled.as_text()
-    return len(re.findall(r"= [^\n=]*convolution", txt))
+from cerberusdet_tpu.utils.profiling import conv_count  # noqa: E402
 
 
 def main():

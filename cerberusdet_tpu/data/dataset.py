@@ -183,18 +183,29 @@ class DetectionDataset:
         the per-epoch JPEG decode (the dominant augmented-loader cost on a
         weak host) disappears. Keyed by (file list+sizes, imgsz); rebuilt
         when either changes."""
+        import os
+
         from cerberusdet_tpu.data.labels import get_hash
 
         pack_path = Path(cache_dir) / f"{self.task}.pack{self.imgsz}.npy"
         meta_path = Path(cache_dir) / f"{self.task}.pack{self.imgsz}.meta.npz"
-        want = get_hash(self.img_files)
+        # key includes the DECODE configuration: augment picks the resize
+        # interpolation and fast_decode the decoder, so a pack built for one
+        # mode must not serve another
+        want = (get_hash(self.img_files)
+                + f"|aug={int(self.augment)}|fast={int(bool(self.fast_decode))}")
         if pack_path.exists() and meta_path.exists():
             meta = np.load(meta_path, allow_pickle=False)
             if str(meta["hash"]) == want and int(meta["n"]) == self.n:
                 arr = np.lib.format.open_memmap(pack_path, mode="r")
                 return arr, meta["hw0"], meta["hw"]
+        # build into process-unique tmp files, then atomically rename: a
+        # concurrent reader either sees a complete old pack (with its old
+        # meta) or the complete new one — never a half-written mapping
+        tmp_pack = pack_path.with_name(pack_path.name + f".tmp{os.getpid()}")
+        tmp_meta = meta_path.with_name(meta_path.name + f".tmp{os.getpid()}")
         arr = np.lib.format.open_memmap(
-            pack_path, mode="w+", dtype=np.uint8,
+            tmp_pack, mode="w+", dtype=np.uint8,
             shape=(self.n, self.imgsz, self.imgsz, 3))
         hw0 = np.zeros((self.n, 2), np.int32)
         hw = np.zeros((self.n, 2), np.int32)
@@ -204,10 +215,15 @@ class DetectionDataset:
             hw0[i] = (h0, w0)
             hw[i] = (h, w)
         arr.flush()
-        np.savez(meta_path, hash=want, n=self.n, hw0=hw0, hw=hw)
+        del arr
+        with open(tmp_meta, "wb") as f:
+            np.savez(f, hash=want, n=self.n, hw0=hw0, hw=hw)
+        os.replace(tmp_pack, pack_path)
+        os.replace(tmp_meta, meta_path)
+        arr = np.lib.format.open_memmap(pack_path, mode="r")
         print(f"{self.task}: packed {self.n} images -> {pack_path} "
               f"({arr.nbytes / 1e9:.2f} GB)")
-        return np.lib.format.open_memmap(pack_path, mode="r"), hw0, hw
+        return arr, hw0, hw
 
     def __len__(self) -> int:
         return self.n

@@ -64,8 +64,9 @@ class CerberusDetInference:
 
         int8: "off" | "deep" | "all" — post-training quantization of the
         fused convs (quant/ptq.py); activation scales calibrated on
-        `calib_batches` (list of (B,H,W,3) float arrays in [0,1]; a gray
-        dummy batch is used when omitted — pass real data for best scales)."""
+        `calib_batches` (list of (B,H,W,3) float arrays in [0,1]; a
+        random-noise batch is used when omitted — pass real data for best
+        scales)."""
         if model is None:
             if weights is None:
                 raise ValueError("provide (model, params) or a weights path")
@@ -100,8 +101,14 @@ class CerberusDetInference:
             from cerberusdet_tpu.quant.ptq import select_deep
 
             if calib_batches is None:
-                calib_batches = [np.full((2, img_size, img_size, 3), 0.5,
-                                         np.float32)]
+                # uniform-noise fallback covers the [0,1] input range (a
+                # constant image would underestimate every activation scale
+                # and clip real inputs); REAL images give better scales
+                print("CerberusDetInference: int8 enabled without "
+                      "calib_batches — calibrating on random noise; pass "
+                      "real batches for best accuracy")
+                calib_batches = [np.random.default_rng(0).uniform(
+                    0, 1, (2, img_size, img_size, 3)).astype(np.float32)]
             amax = calibrate_amax(model, fused, calib_batches,
                                   dtype=self.compute_dtype)
             fused = quantize_params(

@@ -50,11 +50,9 @@ def parse_data_config(data: Any, check: bool = False) -> Dict[str, Any]:
         d = check_dataset(d)
     elif d.get("path"):
         # `path` prefix is config semantics, applied even without checking
-        prefix = Path(d["path"])
-        for k in ("train", "val", "test"):
-            if d.get(k):
-                d[k] = (str(prefix / d[k]) if isinstance(d[k], str)
-                        else [str(prefix / x) for x in d[k]])
+        from cerberusdet_tpu.utils.checks import apply_path_prefix
+
+        d = apply_path_prefix(d)
     if not isinstance(d.get("nc"), list):
         d["nc"] = [d["nc"]]
         d["names"] = [d["names"]]

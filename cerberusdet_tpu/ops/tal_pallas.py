@@ -30,7 +30,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from cerberusdet_tpu.train.tal import AssignResult
 
@@ -178,10 +177,12 @@ def _pass2_kernel(scores_ref, gtb_ref, pdb_ref, anc_ref, atg_ref, atp_ref,
 
 
 def _assign_impl(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
-                 mask_gt, *, topk: int, alpha: float, beta: float,
-                 eps: float, interpret: bool):
+                 mask_gt, *, topk: int, num_classes: int, alpha: float,
+                 beta: float, eps: float, interpret: bool):
     """The per-shard assignment computation (see assign_pallas)."""
     b, n, nc = pd_scores.shape
+    assert nc == num_classes, (
+        f"pd_scores class dim {nc} != num_classes {num_classes}")
     m = gt_labels.shape[1]
     np_ = _round_up(n, 128)
     mp = _round_up(m, _MT)
@@ -273,8 +274,8 @@ def _assign_impl(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned_assign(topk: int, alpha: float, beta: float, eps: float,
-                        interpret: bool):
+def _partitioned_assign(topk: int, num_classes: int, alpha: float,
+                        beta: float, eps: float, interpret: bool):
     """custom_partitioning wrapper: the assignment is independent per image,
     so under a data-parallel mesh each device must run the kernels on ITS
     batch shard. Without this rule GSPMD treats the pallas custom-calls as
@@ -284,8 +285,9 @@ def _partitioned_assign(topk: int, alpha: float, beta: float, eps: float,
 
     def impl(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt):
         return _assign_impl(pd_scores, pd_bboxes, anc_points, gt_labels,
-                            gt_bboxes, mask_gt, topk=topk, alpha=alpha,
-                            beta=beta, eps=eps, interpret=interpret)
+                            gt_bboxes, mask_gt, topk=topk,
+                            num_classes=num_classes, alpha=alpha, beta=beta,
+                            eps=eps, interpret=interpret)
 
     f = custom_partitioning(impl)
 
@@ -315,6 +317,6 @@ def assign_pallas(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes,
                   alpha: float = 0.5, beta: float = 6.0, eps: float = 1e-9,
                   interpret: bool = False) -> AssignResult:
     """Drop-in replacement for TaskAlignedAssigner.__call__ (train/tal.py)."""
-    f = _partitioned_assign(topk, alpha, beta, eps, interpret)
+    f = _partitioned_assign(topk, num_classes, alpha, beta, eps, interpret)
     out = f(pd_scores, pd_bboxes, anc_points, gt_labels, gt_bboxes, mask_gt)
     return AssignResult(*[jax.lax.stop_gradient(t) for t in out])

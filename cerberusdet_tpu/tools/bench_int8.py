@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import re
 import time
 from functools import partial
 
@@ -22,8 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def conv_count(compiled) -> int:
-    return len(re.findall(r"= [^\n=]*convolution", compiled.as_text()))
+from cerberusdet_tpu.utils.profiling import conv_count  # noqa: E402
 
 
 def bench_variant(model, params, img, iters: int) -> float:

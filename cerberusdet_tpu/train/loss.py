@@ -63,7 +63,9 @@ class DetectionLoss:
         if tal_impl == "auto":
             import jax
 
-            tal_impl = ("pallas" if jax.default_backend() not in ("cpu",)
+            # pallas ONLY on TPU: the kernels rely on TPU sequential-grid
+            # accumulator semantics (GPU/Triton grids run in parallel)
+            tal_impl = ("pallas" if jax.default_backend() == "tpu"
                         else "xla")
         if tal_impl == "pallas":
             import jax

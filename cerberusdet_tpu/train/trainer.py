@@ -95,10 +95,12 @@ class TrainLoop:
             opt.weights or None, seed=opt.seed, verbose=False)
         self.start_epoch = 0
 
-        if not opt.nosave:
+        if not opt.nosave and jax.process_index() == 0:
             # one-time model-graph artifact in the run dir: StableHLO text +
             # XLA cost analysis — the TPU-native analog of the reference's
-            # TensorBoard add_graph (models_manager.py:412-418)
+            # TensorBoard add_graph (models_manager.py:412-418). Process 0
+            # only (it costs one eval-forward compile); evolve runs skip it
+            # via nosave.
             from cerberusdet_tpu.utils.profiling import dump_model_graph
 
             dump_model_graph(self.model, params, self.manager.save_dir,

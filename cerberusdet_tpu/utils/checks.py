@@ -199,6 +199,19 @@ def download(url, dir=".", unzip: bool = True, delete: bool = True,
             download_one(u)
 
 
+def apply_path_prefix(data: dict) -> dict:
+    """Resolve the optional `path` key onto train/val/test entries
+    (general.py:131-137). Path(prefix) / absolute-path == absolute-path, so
+    repeated application never double-prepends."""
+    path = Path(data.get("path", ""))
+    if str(path) not in ("", "."):
+        for k in ("train", "val", "test"):
+            if data.get(k):
+                data[k] = (str(path / data[k]) if isinstance(data[k], str)
+                           else [str(path / x) for x in data[k]])
+    return data
+
+
 def check_dataset(data: dict, autodownload: bool = True) -> dict:
     """Resolve the optional `path` prefix, default `names`, verify val paths
     exist, and run the yaml's `download` stanza when they don't
@@ -208,13 +221,7 @@ def check_dataset(data: dict, autodownload: bool = True) -> dict:
     import os
 
     path = Path(data.get("path", ""))
-    if str(path) not in ("", "."):
-        for k in ("train", "val", "test"):
-            if data.get(k):
-                # Path(prefix) / absolute-path == absolute-path, so re-running
-                # check_dataset never double-prepends
-                data[k] = (str(path / data[k]) if isinstance(data[k], str)
-                           else [str(path / x) for x in data[k]])
+    data = apply_path_prefix(data)
     assert "nc" in data, "Dataset 'nc' key missing."
     if "names" not in data:
         nc = data["nc"]

@@ -41,6 +41,14 @@ class Profile:
         self.t += self.dt
 
 
+def conv_count(compiled) -> int:
+    """Number of convolution ops in a compiled executable's HLO — the
+    DCE guard shared by every benchmark (bench.py methodology note)."""
+    import re
+
+    return len(re.findall(r"= [^\n=]*convolution", compiled.as_text()))
+
+
 def flops_estimate(fn, *example_args) -> Optional[float]:
     """Total FLOPs of a jitted callable via XLA cost analysis."""
     try:

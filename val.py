@@ -119,7 +119,10 @@ def quantize_for_eval(model, params, data_dict, opt, n_calib_batches: int = 2):
     _, loader = create_dataloader(
         data_dict["val"][0], imgsz=opt.imgsz, batch_size=min(opt.batch_size, 8),
         augment=False, shuffle=False, classnames=data_dict["names"][0],
-        task="int8_calib", num_threads=opt.workers)
+        task="int8_calib", num_threads=opt.workers,
+        # every process must calibrate on IDENTICAL batches: host-sharded
+        # calibration would quantize a different model per process
+        host_sharded=False)
     batches = []
     for batch in loader:
         batches.append(batch["img"].astype("float32") / 255.0)
