@@ -134,6 +134,9 @@ class TrainLoop:
                 classnames=data_dict["names"][ti],
                 max_labels=opt.max_labels, task=f"{task}_val",
                 single_cls=opt.single_cls, num_threads=opt.workers,
+                # the packed cache serves val too (bit-identical to the
+                # decode path), sparing every per-epoch val the re-decode
+                cache_images=opt.cache_images,
                 # process 0 validates the FULL set (reference rank-0 val);
                 # other hosts never iterate this loader
                 host_sharded=False,
