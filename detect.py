@@ -26,6 +26,9 @@ def parse_opt(argv=None):
     p.add_argument("--iou-thres-between-tasks", type=float, default=0.8)
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--agnostic-nms", action="store_true")
+    p.add_argument("--int8", default="off", choices=["off", "deep", "all"],
+                   help="int8 PTQ inference (quant/ptq.py); activation "
+                        "scales calibrated on the first source images")
     p.add_argument("--save-crop", action="store_true")
     p.add_argument("--nosave", action="store_true",
                    help="do not save annotated images")
@@ -61,6 +64,28 @@ def iter_images(source):
                 yield f, im
 
 
+def _calib_batches(opt, n: int = 8):
+    """int8 activation-scale calibration on the REAL source images (the best
+    available scales for a folder-inference run)."""
+    if opt.int8 == "off":
+        return None
+    import numpy as np
+
+    from cerberusdet_tpu.infer import CerberusPreprocessor
+
+    pre = CerberusPreprocessor(img_size=opt.imgsz, stride=32,
+                               prefer_device=False)
+    imgs = []
+    for _f, im in iter_images(opt.source):
+        imgs.append(im)
+        if len(imgs) >= n:
+            break
+    if not imgs:
+        return None
+    batch, _shapes = pre.preprocess(imgs)
+    return [np.asarray(batch)]
+
+
 def main(argv=None):
     opt = parse_opt(argv)
     from cerberusdet_tpu.utils.checks import select_platform
@@ -94,12 +119,14 @@ def main(argv=None):
             iou_thres=opt.iou_thres,
             iou_thres_between_tasks=opt.iou_thres_between_tasks,
             img_size=opt.imgsz, half=opt.bf16, max_det=opt.max_det,
+            int8=opt.int8, calib_batches=_calib_batches(opt),
         )
     else:
         inference = CerberusDetInference(
             weights=opt.weights, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
             iou_thres_between_tasks=opt.iou_thres_between_tasks,
             img_size=opt.imgsz, half=opt.bf16, max_det=opt.max_det,
+            int8=opt.int8, calib_batches=_calib_batches(opt),
         )
 
     pre = CerberusPreprocessor(img_size=opt.imgsz, stride=inference.stride)

@@ -86,6 +86,22 @@ def test_detect_cli(trained_run, cli_data, tmp_path):
 
 
 @pytest.mark.slow
+def test_detect_cli_int8(trained_run, cli_data, tmp_path):
+    """--int8 detect: activation scales calibrated on the REAL source
+    images, and the annotated outputs are still produced."""
+    root, _ = cli_data
+    import detect as detect_cli
+
+    out_dir = detect_cli.main([
+        "--weights", trained_run, "--source", str(root / "images" / "val"),
+        "--imgsz", "64", "--conf-thres", "0.01", "--int8", "deep",
+        "--project", str(tmp_path / "det8"), "--name", "exp",
+    ])
+    outs = list(Path(out_dir).glob("*.jpg"))
+    assert len(outs) == 4
+
+
+@pytest.mark.slow
 def test_strip_weights_cli(trained_run):
     from cerberusdet_tpu.manager.checkpoint import load_checkpoint
     from cerberusdet_tpu.tools import strip_weights
