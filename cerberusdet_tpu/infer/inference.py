@@ -155,8 +155,11 @@ class CerberusDetInference:
             task_idx_all.append(jnp.full(dets.shape[:2], ti, jnp.int32))
         merged = jnp.concatenate(dets_all, axis=1)          # (B, T*max_det, 6)
         task_idx = jnp.concatenate(task_idx_all, axis=1)    # (B, T*max_det)
-        keep = jax.vmap(lambda d, t: cross_task_suppress(d, t, float(iou_bt)))(
-            merged, task_idx)
+        # task-major layout with max_det rows per task: final-task rows are
+        # no-op scan iterations -> bound the sequential loop exactly
+        scan_rows = (len(self.task_order) - 1) * max_det
+        keep = jax.vmap(lambda d, t: cross_task_suppress(
+            d, t, float(iou_bt), scan_rows=scan_rows))(merged, task_idx)
         return merged, task_idx, keep
 
     # ------------------------------------------------------------------

@@ -74,6 +74,12 @@ def _select_candidates(pred, nc: int, conf_thres: float, multi_label: bool,
     cls_all = jnp.argmax(scores, axis=1).astype(jnp.float32)
     conf_all = jnp.where(conf_all > conf_thres, conf_all, 0.0)
     k = min(max_nms, conf_all.shape[0])
+    if k == conf_all.shape[0]:
+        # No truncation -> the top_k sort is pure cost: greedy NMS selects by
+        # argmax over scores (stable lowest-index ties), so candidate ORDER
+        # cannot change the selected box set. Keeping index order skips a
+        # full (N,) sort per image (~2.9 ms/batch32/task at N=8448 on v5e).
+        return boxes, conf_all, cls_all
     conf, aidx = jax.lax.top_k(conf_all, k)
     return boxes[aidx], conf, cls_all[aidx]
 
@@ -141,8 +147,9 @@ def non_max_suppression(
     return det, jnp.sum(valid.astype(jnp.int32), axis=1)
 
 
-@partial(jax.jit, static_argnames=("iou_thres",))
-def cross_task_suppress(dets, task_idx, iou_thres: float = 0.8):
+@partial(jax.jit, static_argnames=("iou_thres", "scan_rows"))
+def cross_task_suppress(dets, task_idx, iou_thres: float = 0.8,
+                        scan_rows: Optional[int] = None):
     """Cross-task dedup: if boxes from DIFFERENT tasks overlap above
     `iou_thres`, keep only the highest-confidence one.
 
@@ -153,6 +160,11 @@ def cross_task_suppress(dets, task_idx, iou_thres: float = 0.8):
     Args:
       dets: (M, 6) rows [x1, y1, x2, y2, conf, cls] (padding rows conf 0).
       task_idx: (M,) int task index of each row.
+      scan_rows: static iteration bound. Rows of the FINAL task have an
+        all-False upper-block overlap row, so their loop iterations are
+        provably no-ops; a caller whose layout is task-major with max_det
+        rows per task (the inference path) passes (T-1)*max_det and halves
+        the sequential scan exactly.
     Returns: keep: (M,) bool (padding rows excluded).
     """
     m = dets.shape[0]
@@ -175,5 +187,6 @@ def cross_task_suppress(dets, task_idx, iou_thres: float = 0.8):
         to_del = group & (jnp.arange(m) != winner)
         return jnp.where(any_overlap, deleted | to_del, deleted)
 
-    deleted = jax.lax.fori_loop(0, m, body, jnp.zeros((m,), bool))
+    deleted = jax.lax.fori_loop(0, m if scan_rows is None else min(scan_rows, m),
+                                body, jnp.zeros((m,), bool))
     return valid & ~deleted

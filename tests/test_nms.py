@@ -122,3 +122,41 @@ def test_cross_task_same_task_not_suppressed():
     )
     keep = np.asarray(cross_task_suppress(dets, jnp.array([0, 0]), iou_thres=0.5))
     assert keep.tolist() == [True, True]
+
+
+def test_nms_selection_invariant_to_candidate_order():
+    """The no-truncation select path keeps candidates in anchor order instead
+    of sorting by score (ops/nms.py:_select_candidates). Greedy NMS selects by
+    argmax, so the selected DET ROWS must be identical for any permutation of
+    the candidate axis — the property that makes skipping the sort exact."""
+    rng = np.random.default_rng(3)
+    n, nc = 400, 7
+    xy = rng.uniform(0, 500, (2, n, 2))
+    wh = rng.uniform(5, 80, (2, n, 2))
+    pred = np.concatenate(
+        [xy + wh / 2, wh, rng.uniform(0, 1, (2, n, nc)) ** 4], -1
+    ).astype(np.float32)
+    perm = rng.permutation(n)
+    a, ca = non_max_suppression(jnp.asarray(pred), nc=nc, conf_thres=0.25,
+                                iou_thres=0.45, max_det=50)
+    b, cb = non_max_suppression(jnp.asarray(pred[:, perm]), nc=nc,
+                                conf_thres=0.25, iou_thres=0.45, max_det=50)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_cross_task_suppress_scan_rows_exact():
+    """scan_rows=(T-1)*max_det skips only provably no-op iterations: for a
+    task-major layout the bounded scan must equal the full scan bitwise."""
+    rng = np.random.default_rng(4)
+    m, md = 120, 60  # 2 tasks x 60 rows
+    xy = rng.uniform(0, 200, (m, 2)); wh = rng.uniform(5, 120, (m, 2))
+    dets = np.concatenate(
+        [xy, xy + wh, rng.uniform(0, 1, (m, 1)), rng.integers(0, 5, (m, 1))],
+        -1).astype(np.float32)
+    dets[rng.uniform(size=m) < 0.2, 4] = 0.0  # padding rows
+    task_idx = jnp.asarray((np.arange(m) >= md).astype(np.int32))
+    full = np.asarray(cross_task_suppress(jnp.asarray(dets), task_idx, 0.3))
+    bounded = np.asarray(cross_task_suppress(jnp.asarray(dets), task_idx, 0.3,
+                                             scan_rows=md))
+    np.testing.assert_array_equal(full, bounded)
