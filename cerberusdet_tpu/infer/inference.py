@@ -57,6 +57,7 @@ class CerberusDetInference:
         dtype=None,
         int8: str = "off",
         calib_batches=None,
+        mesh=None,
     ):
         """dtype overrides the half flag when given (e.g. jnp.float64 for
         numeric-parity debugging with jax_enable_x64; params are kept fp32
@@ -66,7 +67,14 @@ class CerberusDetInference:
         fused convs (quant/ptq.py); activation scales calibrated on
         `calib_batches` (list of (B,H,W,3) float arrays in [0,1]; a
         random-noise batch is used when omitted — pass real data for best
-        scales)."""
+        scales).
+
+        mesh: optional jax.sharding.Mesh (1-D data axis, parallel/mesh.py)
+        for multi-chip serving: params are replicated, predict() shards the
+        batch over the axis, and GSPMD partitions the whole one-program
+        pipeline — the Pallas NMS kernel carries its own batch-partitioning
+        rule (ops/nms_pallas.py) so each chip NMSes only its shard. Batch
+        size must be divisible by the mesh size."""
         if model is None:
             if weights is None:
                 raise ValueError("provide (model, params) or a weights path")
@@ -114,7 +122,13 @@ class CerberusDetInference:
             fused = quantize_params(
                 fused, amax,
                 select=select_all if int8 == "all" else select_deep())
-        self.params = jax.device_put(fused)
+        self.mesh = mesh
+        if mesh is not None:
+            from cerberusdet_tpu.parallel.mesh import replicate
+
+            self.params = replicate(fused, mesh)
+        else:
+            self.params = jax.device_put(fused)
         # params are a RUNTIME argument of the jitted program, never a traced
         # constant: closure-capturing them would serialize every weight into
         # the HLO (hundreds of MB for v8x — rejected by remote compile
@@ -129,10 +143,24 @@ class CerberusDetInference:
         self.warmup(img_size)
 
     # ------------------------------------------------------------------
-    def warmup(self, img_size: int, batch: int = 1):
-        dummy = jnp.zeros((batch, img_size, img_size, 3), jnp.float32)
+    def warmup(self, img_size: int, batch: Optional[int] = None):
+        if batch is None:
+            batch = 1 if self.mesh is None else self.mesh.devices.size
+        dummy = self._shard(jnp.zeros((batch, img_size, img_size, 3),
+                                      jnp.float32))
         self._device_predict(self.params, dummy, self.conf_thres, self.iou_thres,
                              self.iou_thres_between_tasks, False, self.max_det)
+
+    def _shard(self, batch):
+        """Place the batch: sharded over the mesh's data axis when serving
+        multi-chip, default device placement otherwise."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        return jax.device_put(
+            batch, NamedSharding(self.mesh, P(axis, None, None, None)))
 
     def _predict_impl(self, params, batch, conf_thres, iou_thres, iou_bt,
                       agnostic, max_det):
@@ -181,7 +209,7 @@ class CerberusDetInference:
         iou_bt = (self.iou_thres_between_tasks if iou_thres_between_tasks is None
                   else iou_thres_between_tasks)
         max_det = self.max_det if max_det is None else max_det
-        batch = jnp.asarray(batch)
+        batch = self._shard(jnp.asarray(batch))
         merged, task_idx, keep = self._device_predict(
             self.params, batch, conf_thres, iou_thres, iou_bt,
             bool(agnostic_nms), int(max_det))

@@ -19,6 +19,7 @@ fori_loop version — ~10x; the full non_max_suppression eval path drops from
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -76,12 +77,9 @@ def _nms_kernel(boxes_ref, scores_ref, idx_out_ref, valid_out_ref, *,
     valid_out_ref[:, :] = val_acc
 
 
-@partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret"))
-def greedy_nms_pallas(boxes, scores, iou_thres: float = 0.45, max_det: int = 300,
-                      interpret: bool = False):
-    """Batched greedy NMS. boxes: (B, K, 4) xyxy (class-offset applied by the
-    caller), scores: (B, K) with <= 0 meaning invalid.
-    Returns (idx (B, max_det) int32, valid (B, max_det) bool)."""
+def _greedy_nms_impl(boxes, scores, iou_thres: float, max_det: int,
+                     interpret: bool):
+    """Per-shard kernel launch (see greedy_nms_pallas)."""
     b, k, _ = boxes.shape
     if k > MAX_K:
         raise ValueError(f"pallas NMS supports up to {MAX_K} candidates, got {k}")
@@ -113,3 +111,45 @@ def greedy_nms_pallas(boxes, scores, iou_thres: float = 0.45, max_det: int = 300
         interpret=interpret,
     )(boxes_t, scores)
     return idx[:b], valid[:b] > 0
+
+
+@partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret"))
+def greedy_nms_pallas(boxes, scores, iou_thres: float = 0.45, max_det: int = 300,
+                      interpret: bool = False):
+    """Batched greedy NMS. boxes: (B, K, 4) xyxy (class-offset applied by the
+    caller), scores: (B, K) with <= 0 meaning invalid.
+    Returns (idx (B, max_det) int32, valid (B, max_det) bool).
+
+    Images are independent, so under a data-parallel mesh the kernel is
+    launched per batch shard (custom_partitioning, same pattern as
+    ops/tal_pallas.py) — without the rule GSPMD treats the custom-call as
+    replicated and all-gathers every shard's candidates to every chip.
+    This is what lets the ONE-program serving path (infer/inference.py)
+    scale over a multi-chip mesh."""
+    f = _partitioned_nms(float(iou_thres), int(max_det), bool(interpret))
+    return f(boxes, scores)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_nms(iou_thres: float, max_det: int, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(boxes, scores):
+        return _greedy_nms_impl(boxes, scores, iou_thres, max_det, interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec = getattr(arg_shapes[0].sharding, "spec", None)
+        b_axis = spec[0] if spec else None
+
+        def sh(rank):
+            return NamedSharding(mesh, P(*([b_axis] + [None] * (rank - 1))))
+
+        return mesh, impl, (sh(2), sh(2)), (sh(3), sh(2))
+
+    # batch dim `b` propagates; candidate/coord/det dims stay whole per shard
+    f.def_partition(partition=partition,
+                    sharding_rule="b k f, b k -> b d, b d")
+    return f
