@@ -75,9 +75,8 @@ def box_candidates(box1: np.ndarray, box2: np.ndarray, wh_thr: float = 2,
     return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
 
 
-def random_perspective(
-    im: np.ndarray,
-    targets: np.ndarray = None,
+def build_perspective_matrix(
+    im_shape: Tuple[int, int],
     degrees: float = 10,
     translate: float = 0.1,
     scale: float = 0.1,
@@ -87,20 +86,21 @@ def random_perspective(
     scaleup: bool = True,
     rng=random,
 ):
-    """Random affine/perspective warp of image + labels.
+    """Draw the random warp parameters and compose the 3x3 matrix M.
 
-    targets: (n, 6) rows [cls, prob, x1, y1, x2, y2] in pixels.
-    Returns (im, targets) with filtered surviving boxes.
-    """
-    if targets is None:
-        targets = np.zeros((0, 6), np.float32)
-    height = im.shape[0] + border[0] * 2
-    width = im.shape[1] + border[1] * 2
+    Split out of `random_perspective` so the device-augmentation planner
+    (data/device_augment.py) can consume the IDENTICAL rng stream and get
+    the identical matrix without touching any pixels.
+
+    im_shape: (h, w) of the input canvas. Returns (M, s, width, height)
+    where (width, height) is the output size and s the drawn scale."""
+    height = im_shape[0] + border[0] * 2
+    width = im_shape[1] + border[1] * 2
 
     # Center
     C = np.eye(3)
-    C[0, 2] = -im.shape[1] / 2
-    C[1, 2] = -im.shape[0] / 2
+    C[0, 2] = -im_shape[1] / 2
+    C[1, 2] = -im_shape[0] / 2
     # Perspective
     P = np.eye(3)
     P[2, 0] = rng.uniform(-perspective, perspective)
@@ -121,26 +121,60 @@ def random_perspective(
     T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
 
     M = T @ S @ R @ P @ C
+    return M, s, width, height
+
+
+def warp_targets(targets: np.ndarray, M: np.ndarray, s: float, width: int,
+                 height: int, perspective: float = 0.0) -> np.ndarray:
+    """Apply warp M to (n, 6) [cls, prob, x1, y1, x2, y2] boxes and filter
+    the survivors (the label half of `random_perspective`)."""
+    n = len(targets)
+    if not n:
+        return targets
+    xy = np.ones((n * 4, 3))
+    xy[:, :2] = targets[:, [2, 3, 4, 5, 2, 5, 4, 3]].reshape(n * 4, 2)  # corners
+    xy = xy @ M.T
+    xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+    x = xy[:, [0, 2, 4, 6]]
+    y = xy[:, [1, 3, 5, 7]]
+    new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+    keep = box_candidates(box1=targets[:, 2:6].T * s, box2=new.T, area_thr=0.1)
+    targets = targets[keep]
+    targets[:, 2:6] = new[keep]
+    return targets
+
+
+def random_perspective(
+    im: np.ndarray,
+    targets: np.ndarray = None,
+    degrees: float = 10,
+    translate: float = 0.1,
+    scale: float = 0.1,
+    shear: float = 10,
+    perspective: float = 0.0,
+    border: Tuple[int, int] = (0, 0),
+    scaleup: bool = True,
+    rng=random,
+):
+    """Random affine/perspective warp of image + labels.
+
+    targets: (n, 6) rows [cls, prob, x1, y1, x2, y2] in pixels.
+    Returns (im, targets) with filtered surviving boxes.
+    """
+    if targets is None:
+        targets = np.zeros((0, 6), np.float32)
+    M, s, width, height = build_perspective_matrix(
+        im.shape[:2], degrees, translate, scale, shear, perspective, border,
+        scaleup, rng)
     if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
         if perspective:
             im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
         else:
             im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
 
-    n = len(targets)
-    if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = targets[:, [2, 3, 4, 5, 2, 5, 4, 3]].reshape(n * 4, 2)  # corners
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        keep = box_candidates(box1=targets[:, 2:6].T * s, box2=new.T, area_thr=0.1)
-        targets = targets[keep]
-        targets[:, 2:6] = new[keep]
+    targets = warp_targets(targets, M, s, width, height, perspective)
     return im, targets
 
 

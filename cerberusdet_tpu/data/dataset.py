@@ -64,6 +64,31 @@ def xyxy2xywhn_np(x, w, h, clip=True, eps=1e-3):
     return y
 
 
+def mosaic_layout(s: int, yc: int, xc: int, dims):
+    """Placement geometry of the 4-image mosaic (datasets.py:489-506).
+
+    dims: [(h, w)] x 4 tile sizes. Returns per tile
+    ((x1a, y1a, x2a, y2a) canvas rect, (x1b, y1b, x2b, y2b) source rect,
+    (h, w)). Pure function of the drawn layout so the host paint path and
+    the device-augmentation planner share one geometry."""
+    out = []
+    for i, (h, w) in enumerate(dims):
+        if i == 0:  # top left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        out.append(((x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b), (h, w)))
+    return out
+
+
 class DetectionDataset:
     """One task's dataset. `__getitem__` returns
     (img HWC-RGB uint8, labels (n, 6) [cls, prob, xywhn], meta dict)."""
@@ -270,37 +295,41 @@ class DetectionDataset:
         return im, (h0, w0), im.shape[:2]
 
     # -------------------------------------------------------------- mosaic
-    def load_mosaic(self, index: int, rng=random):
-        """4-image mosaic on a 2s x 2s canvas, then affine-crop to s x s
-        (datasets.py:483-542)."""
+    def draw_mosaic_layout(self, index: int, rng=random):
+        """Draw the mosaic's random choices: center (yc, xc) + 4 tile indices.
+        Split out so the device-augmentation planner consumes the IDENTICAL
+        rng stream as `load_mosaic`."""
         s = self.imgsz
         yc, xc = (int(rng.uniform(-x, 2 * s + x)) for x in self.mosaic_border)
         indices = [index] + rng.choices(range(self.n), k=3)
         rng.shuffle(indices)
+        return yc, xc, indices
+
+    def mosaic_labels(self, indices, placements) -> np.ndarray:
+        """Pre-warp mosaic labels: shift each tile's boxes into canvas
+        coordinates and clip to the 2s x 2s canvas."""
         labels4 = []
-        im4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
-        for i, idx in enumerate(indices):
-            im, _, (h, w) = self.load_image(idx)
-            if i == 0:  # top left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-            elif i == 1:  # top right
-                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-            elif i == 2:  # bottom left
-                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-            else:  # bottom right
-                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
-            im4[y1a:y2a, x1a:x2a] = im[y1b:y2b, x1b:x2b]
-            padw, padh = x1a - x1b, y1a - y1b
+        for idx, ((x1a, y1a, _, _), (x1b, y1b, _, _), (h, w)) in zip(indices, placements):
             lb = self.labels[idx].copy()
             if len(lb):
-                lb[:, 2:6] = xywhn2xyxy_np(lb[:, 2:6], w, h, padw, padh)
+                lb[:, 2:6] = xywhn2xyxy_np(lb[:, 2:6], w, h, x1a - x1b, y1a - y1b)
             labels4.append(lb)
         labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 6), np.float32)
-        np.clip(labels4[:, 2:6], 0, 2 * s, out=labels4[:, 2:6])
+        np.clip(labels4[:, 2:6], 0, 2 * self.imgsz, out=labels4[:, 2:6])
+        return labels4
+
+    def load_mosaic(self, index: int, rng=random):
+        """4-image mosaic on a 2s x 2s canvas, then affine-crop to s x s
+        (datasets.py:483-542)."""
+        s = self.imgsz
+        yc, xc, indices = self.draw_mosaic_layout(index, rng)
+        ims = [self.load_image(idx) for idx in indices]
+        placements = mosaic_layout(s, yc, xc, [im[2] for im in ims])
+        im4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
+        for (im, _, _), ((x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b), _) in zip(
+                ims, placements):
+            im4[y1a:y2a, x1a:x2a] = im[y1b:y2b, x1b:x2b]
+        labels4 = self.mosaic_labels(indices, placements)
         im4, labels4 = random_perspective(
             im4, labels4,
             degrees=self.hyp["degrees"], translate=self.hyp["translate"],

@@ -1,0 +1,384 @@
+"""Device-side augmentation: the whole image pipeline as ONE jitted XLA
+program, fed by raw packed-cache tiles.
+
+Round-2 profiling showed the 1-core host cannot feed the chip: decode was
+fixed by the packed memmap cache (PROFILE.md "packed decode cache"), leaving
+cv2 warpAffine (3.4 ms/sample) + HSV (2.2 ms) as the augmented-loader floor
+(~74 img/s vs ~100+ img/s train-step consumption). Those are exactly the ops
+a TPU does for free next to a 12-TFLOP train step — so in `augment_device`
+mode the host stops touching pixels entirely:
+
+  host   plan_sample(): replays the dataset's per-(seed, epoch, index) RNG
+         stream to draw the SAME mosaic layout / warp matrix / HSV gains /
+         flips as the cv2 path and computes the labels with the SAME numpy
+         code — labels are bit-identical to the host pipeline by
+         construction. Pixel work is *described*, not done: the plan is a
+         few hundred bytes.
+  host   collate_device(): memcpys the 4 (8 with mixup) source tiles per
+         sample out of the packed memmap — the only per-pixel host work.
+  device augment_batch() [jit]: mosaic paint + affine/perspective warp as a
+         single inverse-warp bilinear gather (each integer canvas corner
+         resolves through the 4 disjoint tile regions, reproducing cv2's
+         cross-tile boundary blending), mixup blend, grayscale, HSV jitter,
+         flips — fused by XLA, overlapped with the train step.
+
+Behavioral parity target: cerberusdet/data/datasets.py:483-542 (mosaic) +
+augmentations.py:92-186 (random_perspective) + :43-56 (HSV), re-expressed as
+one gather-based resampling program. Exactness contract (tested in
+tests/test_device_augment.py):
+  * labels: bit-identical to the host path for every (seed, epoch, index);
+  * geometry: integer-translation warps are bit-identical; general bilinear
+    warps match cv2 up to its 5-bit fixed-point interpolation (<~2 levels);
+  * HSV: float-space jitter vs cv2's uint8 LUT (<~few levels);
+  * blur/median pixel aug (p=0.01 each): consumed from the RNG stream but
+    NOT applied on device (documented approximation; grayscale IS applied).
+
+Requires `cache_images="disk"` (the packed pre-decoded memmap): tiles must
+live in static (imgsz, imgsz) slots, and the pack's hw tables let the
+planner know every image's size without decoding anything.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from cerberusdet_tpu.data.augment import (
+    build_perspective_matrix,
+    warp_targets,
+)
+from cerberusdet_tpu.data.dataset import (
+    DetectionDataset,
+    mosaic_layout,
+    xywhn2xyxy_np,
+    xyxy2xywhn_np,
+)
+from cerberusdet_tpu.ops.letterbox import letterbox_params
+
+PAD = 114.0
+
+
+# --------------------------------------------------------------------- plan
+@dataclass
+class SamplePlan:
+    """Everything the device program needs for one sample (pixel-free)."""
+
+    tile_idx: np.ndarray   # (n_slots,) int32 pack indices, -1 = unused
+    regions: np.ndarray    # (2, 4, 4) f32 canvas rects [x1, y1, x2, y2)
+    offs: np.ndarray       # (2, 4, 2) f32 canvas->tile offsets (padw, padh)
+    minv: np.ndarray       # (2, 3, 3) f32 output->canvas inverse warps
+    mix_r: float           # mixup blend weight (1.0 = no mixup)
+    hsv_mult: np.ndarray   # (3,) f32 h/s/v gain multipliers
+    hsv_on: bool
+    gray: bool
+    blurred: bool          # host path would have blurred (device skips)
+    flipud: bool
+    fliplr: bool
+    labels: np.ndarray     # (n, 6) final [cls, prob, cx, cy, w, h] normalized
+    meta: dict = field(default_factory=dict)
+
+
+def _empty_warp():
+    regions = np.zeros((4, 4), np.float32)
+    offs = np.zeros((4, 2), np.float32)
+    minv = np.eye(3, dtype=np.float32)
+    return regions, offs, minv
+
+
+def _plan_mosaic_warp(ds: DetectionDataset, index: int, rng):
+    """One mosaic + perspective warp: rng stream identical to
+    DetectionDataset.load_mosaic. Returns (labels_px, tile_idx4, regions,
+    offs, minv)."""
+    s = ds.imgsz
+    hyp = ds.hyp
+    yc, xc, indices = ds.draw_mosaic_layout(index, rng)
+    _, hw0, hw = ds._pack
+    dims = [(int(hw[i, 0]), int(hw[i, 1])) for i in indices]
+    placements = mosaic_layout(s, yc, xc, dims)
+    labels4 = ds.mosaic_labels(indices, placements)
+    M, sc, width, height = build_perspective_matrix(
+        (2 * s, 2 * s), degrees=hyp["degrees"], translate=hyp["translate"],
+        scale=hyp["scale"], shear=hyp["shear"], perspective=hyp["perspective"],
+        border=ds.mosaic_border, scaleup=bool(hyp.get("scaleup", 1.0)), rng=rng)
+    labels = warp_targets(labels4, M, sc, width, height, hyp["perspective"])
+    regions = np.zeros((4, 4), np.float32)
+    offs = np.zeros((4, 2), np.float32)
+    for t, ((x1a, y1a, x2a, y2a), (x1b, y1b, _, _), _) in enumerate(placements):
+        regions[t] = (x1a, y1a, x2a, y2a)
+        offs[t] = (x1a - x1b, y1a - y1b)
+    minv = np.linalg.inv(M).astype(np.float32)
+    return labels, np.asarray(indices, np.int32), regions, offs, minv
+
+
+def _plan_letterbox_warp(ds: DetectionDataset, index: int, rng):
+    """Non-mosaic branch: letterbox + random_perspective, expressed as one
+    source-space warp. Pack tiles already have longest-side == imgsz, so the
+    letterbox ratio is exactly 1 and L is a pure integer translation — the
+    device resamples once exactly where the host does."""
+    s = ds.imgsz
+    hyp = ds.hyp
+    _, hw0, hw = ds._pack
+    h, w = int(hw[index, 0]), int(hw[index, 1])
+    h0, w0 = int(hw0[index, 0]), int(hw0[index, 1])
+    ratio, new_unpad, (dw, dh) = letterbox_params(
+        (h, w), (s, s), auto=False, scaleup=ds.augment)
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    labels = ds.labels[index].copy()
+    if len(labels):
+        labels[:, 2:6] = xywhn2xyxy_np(
+            labels[:, 2:6], ratio[0] * w, ratio[1] * h, dw, dh)
+    M, sc, width, height = build_perspective_matrix(
+        (s, s), degrees=hyp["degrees"], translate=hyp["translate"],
+        scale=hyp["scale"], shear=hyp["shear"], perspective=hyp["perspective"],
+        border=(0, 0), scaleup=bool(hyp.get("scaleup", 1.0)), rng=rng)
+    labels = warp_targets(labels, M, sc, width, height, hyp["perspective"])
+    # canvas == the source tile; fold the letterbox translation into the
+    # inverse warp and fold the (rare) ratio != 1 rescale with cv2's
+    # pixel-center resize convention src = (dst + 0.5) / r - 0.5
+    nw, nh = new_unpad
+    rx, ry = w / max(nw, 1), h / max(nh, 1)
+    linv = np.array([[rx, 0, (0.5 - left) * rx - 0.5],
+                     [0, ry, (0.5 - top) * ry - 0.5],
+                     [0, 0, 1]], np.float64)
+    minv = (linv @ np.linalg.inv(M)).astype(np.float32)
+    regions = np.zeros((4, 4), np.float32)
+    offs = np.zeros((4, 2), np.float32)
+    regions[0] = (0, 0, w, h)
+    tile_idx = np.array([index, -1, -1, -1], np.int32)
+    shapes = ((h0, w0), ((h / h0 * ratio[0], w / w0 * ratio[1]), (dw, dh)))
+    return labels, tile_idx, regions, offs, minv, (h0, w0), shapes
+
+
+def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
+    """Host-side planner: identical rng stream + label math as
+    DetectionDataset.__getitem__, zero pixel work."""
+    if ds._pack is None:
+        raise RuntimeError(
+            "augment_device requires cache_images='disk' (the packed memmap)")
+    index = int(ds.indices[index])
+    rng = random.Random(hash((ds.seed, ds.epoch, index)))
+    hyp = ds.hyp
+    s = ds.imgsz
+    n_slots = 8 if hyp["mixup"] > 0 else 4
+    tile_idx = np.full(n_slots, -1, np.int32)
+    regions = np.zeros((2, 4, 4), np.float32)
+    offs = np.zeros((2, 4, 2), np.float32)
+    minv = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    mix_r = 1.0
+    mosaic = ds.augment and rng.random() < hyp["mosaic"]
+    if mosaic:
+        labels, t4, regions[0], offs[0], minv[0] = _plan_mosaic_warp(ds, index, rng)
+        tile_idx[:4] = t4
+        meta = {"path": ds.img_files[index], "ori_shape": (s, s), "shapes": None}
+        if rng.random() < hyp["mixup"]:
+            idx2 = rng.randint(0, ds.n - 1)
+            labels2, t4b, regions[1], offs[1], minv[1] = _plan_mosaic_warp(ds, idx2, rng)
+            tile_idx[4:8] = t4b
+            mix_r = rng.betavariate(32.0, 32.0)
+            labels = np.concatenate((labels, labels2), 0)
+    else:
+        labels, t4, regions[0], offs[0], minv[0], ori, shapes = \
+            _plan_letterbox_warp(ds, index, rng)
+        tile_idx[: 4] = t4
+        meta = {"path": ds.img_files[index], "ori_shape": ori, "shapes": shapes}
+
+    nl = len(labels)
+    if nl:
+        labels[:, 2:6] = xyxy2xywhn_np(labels[:, 2:6], w=s, h=s, clip=True, eps=1e-3)
+    # PixelAugment rng consumption (dataset._pixel_aug): blur and median are
+    # consumed but not applied on device (p=0.01 each); grayscale is applied
+    p = ds._pixel_aug
+    blurred = False
+    if rng.random() < p.p_blur:
+        rng.choice((3, 5, 7))
+        blurred = True
+    if rng.random() < p.p_median:
+        rng.choice((3, 5, 7))
+        blurred = True
+    gray = rng.random() < p.p_gray
+    hsv_on = bool(hyp["hsv_h"] or hyp["hsv_s"] or hyp["hsv_v"])
+    hsv_mult = np.ones(3, np.float32)
+    if hsv_on:
+        u = np.array([rng.uniform(-1, 1) for _ in range(3)])
+        hsv_mult = (u * [hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"]] + 1).astype(np.float32)
+    flipud = rng.random() < hyp["flipud"]
+    if flipud and nl:
+        labels[:, 3] = 1 - labels[:, 3]
+    fliplr = rng.random() < hyp["fliplr"]
+    if fliplr and nl:
+        labels[:, 2] = 1 - labels[:, 2]
+    return SamplePlan(tile_idx, regions, offs, minv, float(mix_r), hsv_mult,
+                      hsv_on, gray, blurred, flipud, fliplr,
+                      labels.astype(np.float32), meta)
+
+
+# ------------------------------------------------------------------ collate
+def collate_device(ds: DetectionDataset, plans: List[SamplePlan],
+                   max_labels: int = 300, pool=None) -> Dict[str, Any]:
+    """Plans -> batch dict. The tile memcpy out of the packed memmap is the
+    only per-pixel host work; `pool` (optional ThreadPoolExecutor) spreads it
+    (numpy memcpy releases the GIL)."""
+    b = len(plans)
+    s = ds.imgsz
+    n_slots = len(plans[0].tile_idx)
+    pack_arr = ds._pack[0]
+    tiles = np.zeros((b, n_slots, s, s, 3), np.uint8)
+
+    def fill(i):
+        for j, idx in enumerate(plans[i].tile_idx):
+            if idx >= 0:
+                tiles[i, j] = pack_arr[idx]
+
+    if pool is not None:
+        list(pool.map(fill, range(b)))
+    else:
+        for i in range(b):
+            fill(i)
+
+    cls = np.zeros((b, max_labels), np.int32)
+    prob = np.zeros((b, max_labels), np.float32)
+    boxes = np.zeros((b, max_labels, 4), np.float32)
+    mask = np.zeros((b, max_labels), bool)
+    for i, p in enumerate(plans):
+        n = min(len(p.labels), max_labels)
+        if n:
+            cls[i, :n] = p.labels[:n, 0].astype(np.int32)
+            prob[i, :n] = p.labels[:n, 1]
+            boxes[i, :n] = p.labels[:n, 2:6]
+            mask[i, :n] = True
+    aug = {
+        "regions": np.stack([p.regions for p in plans]),
+        "offs": np.stack([p.offs for p in plans]),
+        "minv": np.stack([p.minv for p in plans]),
+        "mix_r": np.asarray([p.mix_r for p in plans], np.float32),
+        "hsv_mult": np.stack([p.hsv_mult for p in plans]),
+        "hsv_on": np.asarray([p.hsv_on for p in plans]),
+        "gray": np.asarray([p.gray for p in plans]),
+        "flipud": np.asarray([p.flipud for p in plans]),
+        "fliplr": np.asarray([p.fliplr for p in plans]),
+    }
+    return {
+        "tiles": tiles, "aug": aug, "cls": cls, "prob": prob, "bboxes": boxes,
+        "mask": mask, "meta": [p.meta for p in plans],
+    }
+
+
+# ------------------------------------------------------------------- device
+def _resolve(tiles, regions, offs, cx, cy):
+    """Value of the mosaic canvas at integer coords (cx, cy): look the point
+    up in the 4 disjoint tile regions, else the 114 border. tiles (4,S,S,3)
+    f32; regions (4,4); offs (4,2); cx/cy (H,W) i32."""
+    import jax.numpy as jnp
+
+    S = tiles.shape[1]
+    cxf = cx.astype(jnp.float32)
+    cyf = cy.astype(jnp.float32)
+    inside = ((cxf[None] >= regions[:, 0, None, None])
+              & (cxf[None] < regions[:, 2, None, None])
+              & (cyf[None] >= regions[:, 1, None, None])
+              & (cyf[None] < regions[:, 3, None, None]))  # (4, H, W)
+    any_in = inside.any(0)
+    tid = jnp.argmax(inside, axis=0)  # first matching region
+    off = offs[tid]  # (H, W, 2)
+    tx = jnp.clip(cx - off[..., 0].astype(jnp.int32), 0, S - 1)
+    ty = jnp.clip(cy - off[..., 1].astype(jnp.int32), 0, S - 1)
+    val = tiles[tid, ty, tx]  # (H, W, 3) gather
+    return jnp.where(any_in[..., None], val, PAD)
+
+
+def _warp(tiles, regions, offs, minv, out_hw):
+    """Inverse-warp bilinear resample: out(x, y) = canvas(minv @ (x, y, 1)),
+    cv2.warpAffine/warpPerspective semantics (border 114)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    H, W = out_hw
+    xs = lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    den = minv[2, 0] * xs + minv[2, 1] * ys + minv[2, 2]
+    cx = (minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]) / den
+    cy = (minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]) / den
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = (cx - x0)[..., None]
+    fy = (cy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    p00 = _resolve(tiles, regions, offs, x0i, y0i)
+    p10 = _resolve(tiles, regions, offs, x0i + 1, y0i)
+    p01 = _resolve(tiles, regions, offs, x0i, y0i + 1)
+    p11 = _resolve(tiles, regions, offs, x0i + 1, y0i + 1)
+    top = p00 + (p10 - p00) * fx
+    bot = p01 + (p11 - p01) * fx
+    return top + (bot - top) * fy
+
+
+def _hsv_jitter(g, mult):
+    """HSV gain jitter in float (cv2 uint8-HSV scale: H in [0,180), S/V in
+    [0,255]); approximates augmentations.py:43-56's integer LUTs."""
+    import jax.numpy as jnp
+
+    r, gc, b = g[..., 0], g[..., 1], g[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, gc), b)
+    mn = jnp.minimum(jnp.minimum(r, gc), b)
+    diff = mx - mn
+    safe = jnp.where(diff > 0, diff, 1.0)
+    h6 = jnp.where(
+        mx == r, ((gc - b) / safe) % 6.0,
+        jnp.where(mx == gc, (b - r) / safe + 2.0, (r - gc) / safe + 4.0))
+    h = jnp.where(diff > 0, h6 * 30.0, 0.0)  # [0, 180)
+    sat = jnp.where(mx > 0, diff / jnp.where(mx > 0, mx, 1.0) * 255.0, 0.0)
+    v = mx
+    h = (h * mult[0]) % 180.0
+    sat = jnp.clip(sat * mult[1], 0, 255.0)
+    v = jnp.clip(v * mult[2], 0, 255.0)
+    # back to RGB
+    h6 = h / 30.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    sn = sat / 255.0
+    p = v * (1 - sn)
+    q = v * (1 - sn * f)
+    t = v * (1 - sn * (1 - f))
+    i = i.astype(jnp.int32) % 6
+    rgb = jnp.stack([
+        jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v),
+        jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p),
+        jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q),
+    ], axis=-1)
+    return jnp.round(rgb)
+
+
+def make_augment_fn(imgsz: int, n_slots: int):
+    """Build the jitted (tiles, aug) -> (B, S, S, 3) uint8 batch program."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(tiles, regions, offs, minv, mix_r, hsv_mult, hsv_on, gray,
+            flipud, fliplr):
+        t = tiles.astype(jnp.float32)
+        # cv2 warps round to uint8 before any later stage does arithmetic
+        g = jnp.round(_warp(t[0:4], regions[0], offs[0], minv[0], (imgsz, imgsz)))
+        if n_slots == 8:
+            g2 = jnp.round(_warp(t[4:8], regions[1], offs[1], minv[1], (imgsz, imgsz)))
+            # host mixup: (im*r + im2*(1-r)).astype(uint8) — trunc toward 0
+            g = jnp.floor(g * mix_r + g2 * (1.0 - mix_r))
+        lum = jnp.round(0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2])
+        g = jnp.where(gray, jnp.repeat(lum[..., None], 3, -1), g)
+        g = jnp.where(hsv_on, _hsv_jitter(g, hsv_mult), g)
+        g = jnp.where(flipud, g[::-1], g)
+        g = jnp.where(fliplr, g[:, ::-1], g)
+        return jnp.clip(g, 0, 255).astype(jnp.uint8)
+
+    batched = jax.vmap(one)
+
+    @jax.jit
+    def augment_batch(tiles, aug):
+        return batched(tiles, aug["regions"], aug["offs"], aug["minv"],
+                       aug["mix_r"], aug["hsv_mult"], aug["hsv_on"],
+                       aug["gray"], aug["flipud"], aug["fliplr"])
+
+    return augment_batch

@@ -54,6 +54,13 @@ def _worker_getitem(epoch: int, index: int):
     return _WORKER_DS[index]
 
 
+def _worker_getplan(epoch: int, index: int):
+    from cerberusdet_tpu.data.device_augment import plan_sample
+
+    _WORKER_DS.epoch = epoch
+    return plan_sample(_WORKER_DS, index)
+
+
 def collate(samples: List[tuple], max_labels: int = 300) -> Dict[str, Any]:
     """[(img, labels (n,6), meta)] -> dense batch dict.
 
@@ -85,7 +92,7 @@ class DataLoader:
     def __init__(self, dataset: DetectionDataset, batch_size: int, sampler=None,
                  max_labels: int = 300, drop_last: bool = True,
                  prefetch: int = 3, num_threads: Optional[int] = None,
-                 num_workers: int = 0):
+                 num_workers: int = 0, device_augment: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler if sampler is not None else ShuffleSampler(len(dataset), False)
@@ -97,6 +104,33 @@ class DataLoader:
         self.num_threads = max(num_threads, 1)
         self.num_workers = max(num_workers, 0)  # >0: process pool
         self._pool = None
+        # device_augment: workers emit pixel-free SamplePlans + raw pack
+        # tiles; the mosaic/warp/HSV/flip pipeline runs as one jitted XLA
+        # program on the accelerator (data/device_augment.py)
+        self.device_augment = device_augment
+        self._aug_fn = None
+
+    def _augment_on_device(self, item):
+        """{tiles, aug, ...} -> {img: device array, ...} via the jitted
+        augmentation program (dispatch is async; it overlaps the next host
+        batch and the train step)."""
+        if self._aug_fn is None:
+            from cerberusdet_tpu.data.device_augment import make_augment_fn
+
+            self._aug_fn = make_augment_fn(
+                self.dataset.imgsz, item["tiles"].shape[1])
+        item = dict(item)
+        item["img"] = self._aug_fn(item.pop("tiles"), item.pop("aug"))
+        return item
+
+    def _collate_batch(self, idxs, pool=None):
+        """Sequential (no-prefetch) batch assembly."""
+        if self.device_augment:
+            from cerberusdet_tpu.data.device_augment import collate_device, plan_sample
+
+            plans = [plan_sample(self.dataset, i) for i in idxs]
+            return collate_device(self.dataset, plans, self.max_labels, pool)
+        return collate([self.dataset[i] for i in idxs], self.max_labels)
 
     def set_epoch(self, epoch: int):
         if hasattr(self.sampler, "set_epoch"):
@@ -155,7 +189,8 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.prefetch <= 0:
             for idxs in self._batches():
-                yield collate([self.dataset[i] for i in idxs], self.max_labels)
+                item = self._collate_batch(idxs)
+                yield self._augment_on_device(item) if self.device_augment else item
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
@@ -173,16 +208,37 @@ class DataLoader:
                     for idxs in self._batches():
                         if cancel.is_set():
                             return
-                        samples = list(pool.map(_worker_getitem,
-                                                [epoch] * len(idxs), idxs))
-                        q.put(collate(samples, self.max_labels))
+                        if self.device_augment:
+                            from cerberusdet_tpu.data.device_augment import (
+                                collate_device,
+                            )
+
+                            plans = list(pool.map(_worker_getplan,
+                                                  [epoch] * len(idxs), idxs))
+                            q.put(collate_device(self.dataset, plans,
+                                                 self.max_labels))
+                        else:
+                            samples = list(pool.map(_worker_getitem,
+                                                    [epoch] * len(idxs), idxs))
+                            q.put(collate(samples, self.max_labels))
                 else:
                     with ThreadPoolExecutor(self.num_threads) as pool:
                         for idxs in self._batches():
                             if cancel.is_set():
                                 return
-                            samples = list(pool.map(self.dataset.__getitem__, idxs))
-                            q.put(collate(samples, self.max_labels))
+                            if self.device_augment:
+                                from cerberusdet_tpu.data.device_augment import (
+                                    collate_device,
+                                    plan_sample,
+                                )
+
+                                plans = list(pool.map(
+                                    lambda i: plan_sample(self.dataset, i), idxs))
+                                q.put(collate_device(self.dataset, plans,
+                                                     self.max_labels, pool))
+                            else:
+                                samples = list(pool.map(self.dataset.__getitem__, idxs))
+                                q.put(collate(samples, self.max_labels))
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)
             finally:
@@ -204,7 +260,9 @@ class DataLoader:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                # the jitted augmentation dispatch happens on the consumer
+                # thread (cheap + async) so the worker stays pure-host
+                yield self._augment_on_device(item) if self.device_augment else item
         finally:
             # consumer stopped early (break / close / GC): stop the worker
             # instead of letting it decode into the void (and read files the
@@ -277,8 +335,16 @@ def create_dataloader(
     single_cls: bool = False,
     fast_decode: Optional[bool] = None,
     num_workers: int = 0,
+    augment_device: bool = False,
 ):
     """Build (dataset, loader) for one task (dataloaders.py:39-93 parity)."""
+    if augment_device:
+        if not augment:
+            augment_device = False  # device pipeline only exists for training
+        elif rect:
+            raise ValueError("augment_device is incompatible with rect batching")
+        else:
+            cache_images = "disk"  # the packed memmap is the tile source
     dataset = DetectionDataset(
         path, imgsz=imgsz, augment=augment, hyp=hyp, rect=rect, stride=stride,
         pad=pad, batch_size=batch_size, use_xml=use_xml, classnames=classnames,
@@ -296,5 +362,5 @@ def create_dataloader(
         sampler = HostShardSampler(sampler)
     loader = DataLoader(dataset, batch_size, sampler, max_labels=max_labels,
                         drop_last=augment, num_threads=num_threads,
-                        num_workers=num_workers)
+                        num_workers=num_workers, device_augment=augment_device)
     return dataset, loader

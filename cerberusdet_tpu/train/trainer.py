@@ -55,6 +55,9 @@ class TrainOptions:
     use_multi_labels: bool = False
     use_soft_labels: bool = False
     cache_images: str = ""  # "" | "ram" | "disk" (packed memmap)
+    augment_device: bool = False           # run mosaic/warp/HSV on the TPU
+                                           # (data/device_augment.py); implies
+                                           # cache_images="disk"
     single_cls: bool = False               # train multi-class data as one class
     workers: Optional[int] = None          # loader decode threads (--workers)
     proc_workers: int = 0                  # decode/augment worker PROCESSES
@@ -124,6 +127,7 @@ class TrainLoop:
                 max_labels=opt.max_labels, task=task, seed=opt.seed,
                 cache_images=opt.cache_images, single_cls=opt.single_cls,
                 num_threads=opt.workers, num_workers=opt.proc_workers,
+                augment_device=opt.augment_device,
             )
             self.datasets[task] = ds
             self.train_loaders[task] = loader

@@ -1,0 +1,176 @@
+"""Device-side augmentation (data/device_augment.py) vs the host cv2 path.
+
+Exactness contract:
+  * labels: BIT-IDENTICAL to the host pipeline for every (seed, epoch, index)
+    — the planner replays the same rng stream and runs the same numpy label
+    code;
+  * pixels: integer-translation warps match the host bitwise; general
+    bilinear warps / HSV match up to cv2's fixed-point arithmetic (small
+    mean absolute difference).
+"""
+
+import random
+
+import cv2
+import numpy as np
+import pytest
+
+from cerberusdet_tpu.data.dataset import DetectionDataset
+from cerberusdet_tpu.data.device_augment import (
+    collate_device,
+    make_augment_fn,
+    plan_sample,
+)
+from cerberusdet_tpu.data.loaders import create_dataloader
+
+HYP_FULL = dict(
+    mosaic=1.0, mixup=0.3, degrees=5.0, translate=0.1, scale=0.3, shear=2.0,
+    perspective=0.0, scaleup=1.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
+    flipud=0.2, fliplr=0.5,
+)
+# integer-geometry hyp: no rotation/scale/shear -> the warp is an integer
+# translation (translate=0 centers the 2s crop), bilinear weights are exact
+HYP_INT = dict(
+    mosaic=1.0, mixup=0.0, degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
+    perspective=0.0, scaleup=1.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+    flipud=0.0, fliplr=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def toy_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("devaug")
+    img_dir = root / "images" / "train"
+    lb_dir = root / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lb_dir.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        h, w = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+        im = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:03d}.jpg"), im)
+        lines = []
+        for _ in range(int(rng.integers(1, 4))):
+            x, y = rng.uniform(0.3, 0.7, 2)
+            bw, bh = rng.uniform(0.15, 0.3, 2)
+            lines.append(f"{int(rng.integers(0, 3))} {x:.4f} {y:.4f} {bw:.4f} {bh:.4f}")
+        (lb_dir / f"{i:03d}.txt").write_text("\n".join(lines))
+    return str(img_dir)
+
+
+def _pair(toy_root, tmp_path, hyp, imgsz=128, seed=3):
+    """(host dataset, device dataset) over the same files/hyp/seed."""
+    mk = lambda: DetectionDataset(  # noqa: E731
+        toy_root, imgsz=imgsz, augment=True, hyp=hyp, cache_images="disk",
+        cache_dir=str(tmp_path), seed=seed)
+    return mk(), mk()
+
+
+def test_labels_bitwise_identical(toy_root, tmp_path):
+    host, dev = _pair(toy_root, tmp_path, HYP_FULL)
+    for epoch in range(3):
+        host.set_epoch(epoch)
+        dev.set_epoch(epoch)
+        for i in range(len(host)):
+            _, lb_host, meta_host = host[i]
+            plan = plan_sample(dev, i)
+            np.testing.assert_array_equal(
+                plan.labels, lb_host,
+                err_msg=f"labels diverge at epoch={epoch} index={i}")
+            assert plan.meta["path"] == meta_host["path"]
+
+
+def test_integer_geometry_bitwise(toy_root, tmp_path):
+    """With zero-degree/scale/shear hyps the mosaic warp is an integer
+    translation: device pixels must equal the host cv2 path bitwise."""
+    host, dev = _pair(toy_root, tmp_path, HYP_INT)
+    aug = make_augment_fn(host.imgsz, 4)
+    plans = [plan_sample(dev, i) for i in range(8)]
+    batch = collate_device(dev, plans)
+    imgs = np.asarray(aug(batch["tiles"], batch["aug"]))
+    for i in range(8):
+        img_host, _, _ = host[i]
+        np.testing.assert_array_equal(imgs[i], img_host, err_msg=f"sample {i}")
+
+
+def test_full_pipeline_close_to_host(toy_root, tmp_path):
+    """General warps + HSV + flips + mixup: small mean |diff| vs cv2 (its
+    5-bit fixed-point bilinear and uint8 LUT HSV round differently)."""
+    host, dev = _pair(toy_root, tmp_path, HYP_FULL)
+    n = len(host)
+    plans = [plan_sample(dev, i) for i in range(n)]
+    aug = make_augment_fn(host.imgsz, 8)
+    batch = collate_device(dev, plans)
+    imgs = np.asarray(aug(batch["tiles"], batch["aug"]))
+    checked = 0
+    for i in range(n):
+        if plans[i].blurred:
+            continue  # blur/median are consumed but not applied on device
+        img_host, _, _ = host[i]
+        diff = np.abs(imgs[i].astype(np.int32) - img_host.astype(np.int32))
+        assert diff.mean() < 3.0, f"sample {i}: mean|diff|={diff.mean():.2f}"
+        checked += 1
+    assert checked >= n - 2
+
+
+def test_collate_device_matches_collate_labels(toy_root, tmp_path):
+    """The padded label arrays must equal the host collate's for the same
+    batch."""
+    from cerberusdet_tpu.data.loaders import collate
+
+    host, dev = _pair(toy_root, tmp_path, HYP_FULL)
+    idxs = list(range(6))
+    host_batch = collate([host[i] for i in idxs], max_labels=20)
+    plans = [plan_sample(dev, i) for i in idxs]
+    dev_batch = collate_device(dev, plans, max_labels=20)
+    for k in ("cls", "prob", "bboxes", "mask"):
+        np.testing.assert_array_equal(dev_batch[k], host_batch[k], err_msg=k)
+
+
+def test_create_dataloader_device_augment(toy_root, tmp_path):
+    """End-to-end: the loader yields standard {img, cls, ...} batches with a
+    device-resident img and host-identical labels."""
+    (tmp_path / "dl").mkdir(exist_ok=True)
+    (tmp_path / "dl2").mkdir(exist_ok=True)
+    _, loader = create_dataloader(
+        toy_root, imgsz=128, batch_size=4, hyp=HYP_FULL, augment=True,
+        task="dev", seed=5, cache_dir=str(tmp_path / "dl"),
+        augment_device=True, max_labels=20)
+    _, ref_loader = create_dataloader(
+        toy_root, imgsz=128, batch_size=4, hyp=HYP_FULL, augment=True,
+        task="ref", seed=5, cache_dir=str(tmp_path / "dl2"),
+        cache_images="disk", max_labels=20)
+    loader.set_epoch(1)
+    ref_loader.set_epoch(1)
+    for b_dev, b_ref in zip(loader, ref_loader):
+        assert "img" in b_dev and "tiles" not in b_dev
+        img = np.asarray(b_dev["img"])
+        assert img.shape == b_ref["img"].shape and img.dtype == np.uint8
+        for k in ("cls", "prob", "bboxes", "mask"):
+            np.testing.assert_array_equal(b_dev[k], b_ref[k], err_msg=k)
+        break
+
+
+def test_requires_pack(toy_root, tmp_path):
+    ds = DetectionDataset(toy_root, imgsz=128, augment=True, hyp=HYP_FULL,
+                          cache_dir=str(tmp_path / "nopack"), seed=0)
+    with pytest.raises(RuntimeError, match="cache_images"):
+        plan_sample(ds, 0)
+
+
+def test_nonmosaic_branch(toy_root, tmp_path):
+    """mosaic=0 samples run the letterbox+perspective single-image branch;
+    labels stay bit-identical and pixels close."""
+    hyp = dict(HYP_FULL, mosaic=0.0, mixup=0.0)
+    host, dev = _pair(toy_root, tmp_path, hyp, seed=11)
+    aug = make_augment_fn(host.imgsz, 4)
+    plans = [plan_sample(dev, i) for i in range(8)]
+    batch = collate_device(dev, plans)
+    imgs = np.asarray(aug(batch["tiles"], batch["aug"]))
+    for i in range(8):
+        img_host, lb_host, _ = host[i]
+        np.testing.assert_array_equal(plans[i].labels, lb_host)
+        if plans[i].blurred:
+            continue
+        diff = np.abs(imgs[i].astype(np.int32) - img_host.astype(np.int32))
+        assert diff.mean() < 3.0, f"sample {i}: mean|diff|={diff.mean():.2f}"

@@ -111,6 +111,22 @@ def test_freeze_and_skip_batches_options(tmp_path, two_task_data):
 
 
 @pytest.mark.slow
+def test_augment_device_training(tmp_path, two_task_data):
+    """One epoch with the device-side augmentation pipeline: batches come
+    from jitted mosaic/warp/HSV programs, training proceeds to finite
+    losses (labels are host-bitwise; pixels differ only by interpolation
+    arithmetic — see test_device_augment.py)."""
+    loop = TrainLoop(
+        _opt(tmp_path, epochs=1, augment_device=True, noval=True, nosave=True),
+        two_task_data,
+        _hyp(mosaic=1.0, mixup=0.2, scale=0.2, translate=0.1, fliplr=0.5),
+    )
+    out = loop.train_epoch(0)
+    for t in ("t1", "t2"):
+        assert np.all(np.isfinite(out[t])), out
+
+
+@pytest.mark.slow
 def test_evolution_loop(tmp_path, two_task_data):
     opt = _opt(tmp_path, epochs=1, nosave=True)
     evolver = Yolov5Evolver(opt, _hyp(), two_task_data, generations=2,

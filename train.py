@@ -44,6 +44,11 @@ def parse_opt(argv=None):
                    help="cache decoded images: ram (reference default form) "
                         "or disk (packed pre-decoded memmap, skips per-epoch "
                         "JPEG decode)")
+    p.add_argument("--augment-device", action="store_true",
+                   help="run mosaic/affine/HSV/flip augmentation as one "
+                        "jitted program on the accelerator; the host only "
+                        "memcpys packed-cache tiles (implies --cache-images "
+                        "disk)")
     p.add_argument("--single-cls", action="store_true",
                    help="train multi-class data as single-class")
     p.add_argument("--workers", type=int, default=None,
@@ -149,6 +154,7 @@ def main(argv=None):
         labels_from_xml=opt_ns.labels_from_xml,
         use_multi_labels=opt_ns.use_multi_labels,
         use_soft_labels=opt_ns.use_soft_labels, cache_images=opt_ns.cache_images,
+        augment_device=opt_ns.augment_device,
         single_cls=opt_ns.single_cls, workers=opt_ns.workers,
         proc_workers=opt_ns.proc_workers,
         warmup_min_iters=opt_ns.warmup_min_iters,
