@@ -217,26 +217,34 @@ def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
 
 # ------------------------------------------------------------------ collate
 def collate_device(ds: DetectionDataset, plans: List[SamplePlan],
-                   max_labels: int = 300, pool=None) -> Dict[str, Any]:
-    """Plans -> batch dict. The tile memcpy out of the packed memmap is the
-    only per-pixel host work; `pool` (optional ThreadPoolExecutor) spreads it
-    (numpy memcpy releases the GIL)."""
+                   max_labels: int = 300, pool=None,
+                   as_indices: bool = False) -> Dict[str, Any]:
+    """Plans -> batch dict.
+
+    as_indices=False: ship the tiles (the memcpy out of the packed memmap is
+    the only per-pixel host work; `pool` spreads it — numpy memcpy releases
+    the GIL). as_indices=True: the pack is device-resident, ship only the
+    (B, n_slots) int32 tile indices — the host never touches pixels at all."""
     b = len(plans)
     s = ds.imgsz
     n_slots = len(plans[0].tile_idx)
-    pack_arr = ds._pack[0]
-    tiles = np.zeros((b, n_slots, s, s, 3), np.uint8)
-
-    def fill(i):
-        for j, idx in enumerate(plans[i].tile_idx):
-            if idx >= 0:
-                tiles[i, j] = pack_arr[idx]
-
-    if pool is not None:
-        list(pool.map(fill, range(b)))
+    if as_indices:
+        tiles = None
+        tile_idx = np.stack([p.tile_idx for p in plans])
     else:
-        for i in range(b):
-            fill(i)
+        pack_arr = ds._pack[0]
+        tiles = np.zeros((b, n_slots, s, s, 3), np.uint8)
+
+        def fill(i):
+            for j, idx in enumerate(plans[i].tile_idx):
+                if idx >= 0:
+                    tiles[i, j] = pack_arr[idx]
+
+        if pool is not None:
+            list(pool.map(fill, range(b)))
+        else:
+            for i in range(b):
+                fill(i)
 
     cls = np.zeros((b, max_labels), np.int32)
     prob = np.zeros((b, max_labels), np.float32)
@@ -260,20 +268,30 @@ def collate_device(ds: DetectionDataset, plans: List[SamplePlan],
         "flipud": np.asarray([p.flipud for p in plans]),
         "fliplr": np.asarray([p.fliplr for p in plans]),
     }
-    return {
-        "tiles": tiles, "aug": aug, "cls": cls, "prob": prob, "bboxes": boxes,
+    out = {
+        "aug": aug, "cls": cls, "prob": prob, "bboxes": boxes,
         "mask": mask, "meta": [p.meta for p in plans],
     }
+    if as_indices:
+        out["tile_idx"] = tile_idx
+    else:
+        out["tiles"] = tiles
+    return out
 
 
 # ------------------------------------------------------------------- device
-def _resolve(tiles, regions, offs, cx, cy):
+def _resolve(src, tile_ids, regions, offs, cx, cy):
     """Value of the mosaic canvas at integer coords (cx, cy): look the point
-    up in the 4 disjoint tile regions, else the 114 border. tiles (4,S,S,3)
-    f32; regions (4,4); offs (4,2); cx/cy (H,W) i32."""
+    up in the 4 disjoint tile regions, else the 114 border.
+
+    src: the tile source — (n, S, S, 3) f32, either this sample's own slots
+    or the WHOLE device-resident pack; tile_ids (4,) i32 maps region slot ->
+    src row (so the resident path gathers straight from the pack with no
+    (B, slots, S, S, 3) intermediate). regions (4,4); offs (4,2);
+    cx/cy (H,W) i32."""
     import jax.numpy as jnp
 
-    S = tiles.shape[1]
+    S = src.shape[1]
     cxf = cx.astype(jnp.float32)
     cyf = cy.astype(jnp.float32)
     inside = ((cxf[None] >= regions[:, 0, None, None])
@@ -285,11 +303,13 @@ def _resolve(tiles, regions, offs, cx, cy):
     off = offs[tid]  # (H, W, 2)
     tx = jnp.clip(cx - off[..., 0].astype(jnp.int32), 0, S - 1)
     ty = jnp.clip(cy - off[..., 1].astype(jnp.int32), 0, S - 1)
-    val = tiles[tid, ty, tx]  # (H, W, 3) gather
+    row = jnp.clip(tile_ids, 0, src.shape[0] - 1)[tid]  # (H, W)
+    # gather uint8, upcast AFTER: the (N, S, S, 3) source stays u8 in HBM
+    val = src[row, ty, tx].astype(jnp.float32)  # (H, W, 3)
     return jnp.where(any_in[..., None], val, PAD)
 
 
-def _warp(tiles, regions, offs, minv, out_hw):
+def _warp(src, tile_ids, regions, offs, minv, out_hw):
     """Inverse-warp bilinear resample: out(x, y) = canvas(minv @ (x, y, 1)),
     cv2.warpAffine/warpPerspective semantics (border 114)."""
     import jax.numpy as jnp
@@ -307,10 +327,10 @@ def _warp(tiles, regions, offs, minv, out_hw):
     fy = (cy - y0)[..., None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    p00 = _resolve(tiles, regions, offs, x0i, y0i)
-    p10 = _resolve(tiles, regions, offs, x0i + 1, y0i)
-    p01 = _resolve(tiles, regions, offs, x0i, y0i + 1)
-    p11 = _resolve(tiles, regions, offs, x0i + 1, y0i + 1)
+    p00 = _resolve(src, tile_ids, regions, offs, x0i, y0i)
+    p10 = _resolve(src, tile_ids, regions, offs, x0i + 1, y0i)
+    p01 = _resolve(src, tile_ids, regions, offs, x0i, y0i + 1)
+    p11 = _resolve(src, tile_ids, regions, offs, x0i + 1, y0i + 1)
     top = p00 + (p10 - p00) * fx
     bot = p01 + (p11 - p01) * fx
     return top + (bot - top) * fy
@@ -352,18 +372,89 @@ def _hsv_jitter(g, mult):
     return jnp.round(rgb)
 
 
-def make_augment_fn(imgsz: int, n_slots: int):
-    """Build the jitted (tiles, aug) -> (B, S, S, 3) uint8 batch program."""
+def _axis_matrices(minv_row, regions, offs, S_out, S, axis):
+    """Build the (4, S_out, S) bilinear sampling matrix for one output axis
+    of an AXIS-ALIGNED warp (minv has zero off-diagonal spatial terms).
+
+    Each output row y samples canvas coord c = a*y + b; its matrix row has
+    <=2 nonzeros — the bilinear weights at floor(c)/floor(c)+1, masked by
+    tile t's region interval and shifted by its canvas->tile offset. The
+    warp then becomes two MXU matmuls per tile instead of per-element
+    gathers (XLA's TPU gather lowering is ~100x off speed-of-light; the
+    matmul form measures ~400x faster end-to-end).
+
+    minv_row: (3,) the axis' row of the inverse warp; regions (4, 2) the
+    [lo, hi) interval of each tile on this axis; offs (4,) tile offsets;
+    axis selects arange coefficient. Returns f32 (4, S_out, S)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    y = lax.iota(jnp.float32, S_out)
+    c = minv_row[axis] * y + minv_row[2]
+    c0 = jnp.floor(c)
+    w1 = c - c0
+    w0 = 1.0 - w1
+    c0i = c0.astype(jnp.int32)
+    j = lax.iota(jnp.int32, S)
+    lo = regions[:, 0, None]   # (4, 1)
+    hi = regions[:, 1, None]
+    off = offs[:, None].astype(jnp.int32)  # (4, 1)
+    M = jnp.zeros((4, S_out, S), jnp.float32)
+    for d, w in ((0, w0), (1, w1)):
+        v = c0i + d  # (S_out,)
+        inb = (v[None].astype(jnp.float32) >= lo) & (v[None].astype(jnp.float32) < hi)
+        eq = (v[None, :, None] - off[..., None]) == j[None, None, :]
+        M = M + w[None, :, None] * (eq & inb[..., None])
+    return M
+
+
+def _warp_mm(src, tile_ids, regions, offs, minv, out_hw):
+    """Axis-aligned inverse-warp as MXU matmuls: out = sum_t Y_t @ tile_t
+    @ X_t^T + 114*(1 - sum_t ycov_t (x) xcov_t). Bit-compatible with _warp
+    for integer translations; same corner/region semantics throughout."""
+    import jax.numpy as jnp
+
+    H, W = out_hw
+    S = src.shape[1]
+    Y = _axis_matrices(minv[1], regions[:, (1, 3)], offs[:, 1], H, S, axis=1)
+    X = _axis_matrices(minv[0], regions[:, (0, 2)], offs[:, 0], W, S, axis=0)
+    tiles = src[jnp.clip(tile_ids, 0, src.shape[0] - 1)].astype(jnp.float32)
+    G = jnp.einsum("tos,tsjc->tojc", Y, tiles)          # contract tile rows
+    out = jnp.einsum("tpj,tojc->opc", X, G)             # contract tile cols
+    cov = jnp.einsum("to,tp->op", Y.sum(-1), X.sum(-1))
+    return out + PAD * (1.0 - cov)[..., None]
+
+
+def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
+                    axis_aligned: bool = False):
+    """Build the jitted augmentation program.
+
+    resident=False: (tiles (B, n_slots, S, S, 3) u8, aug) -> (B, S, S, 3) u8
+        — tiles shipped per batch (fine over PCIe/DMA on a real TPU host).
+    resident=True: (pack (N, S, S, 3) u8, tile_idx (B, n_slots) i32, aug)
+        — the WHOLE packed image cache lives in HBM (uploaded once); per
+        batch only indices + warp params cross the host link (KBs). The
+        corner gathers index the pack directly, so no (B, n_slots, S, S, 3)
+        intermediate is ever materialized. This is the default whenever the
+        pack fits the budget — data lives where compute is.
+    axis_aligned=True: the warps carry no rotation/shear/perspective
+        (degrees == shear == perspective == 0 — true of every shipped hyp,
+        the reference's included), so the bilinear resample is separable and
+        runs as MXU matmuls (_warp_mm) instead of element gathers.
+    """
     import jax
     import jax.numpy as jnp
 
-    def one(tiles, regions, offs, minv, mix_r, hsv_mult, hsv_on, gray,
+    warp = _warp_mm if axis_aligned else _warp
+
+    def one(src, tile_idx, regions, offs, minv, mix_r, hsv_mult, hsv_on, gray,
             flipud, fliplr):
-        t = tiles.astype(jnp.float32)
         # cv2 warps round to uint8 before any later stage does arithmetic
-        g = jnp.round(_warp(t[0:4], regions[0], offs[0], minv[0], (imgsz, imgsz)))
+        g = jnp.round(warp(src, tile_idx[0:4], regions[0], offs[0], minv[0],
+                           (imgsz, imgsz)))
         if n_slots == 8:
-            g2 = jnp.round(_warp(t[4:8], regions[1], offs[1], minv[1], (imgsz, imgsz)))
+            g2 = jnp.round(warp(src, tile_idx[4:8], regions[1], offs[1],
+                                minv[1], (imgsz, imgsz)))
             # host mixup: (im*r + im2*(1-r)).astype(uint8) — trunc toward 0
             g = jnp.floor(g * mix_r + g2 * (1.0 - mix_r))
         lum = jnp.round(0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2])
@@ -373,12 +464,27 @@ def make_augment_fn(imgsz: int, n_slots: int):
         g = jnp.where(fliplr, g[:, ::-1], g)
         return jnp.clip(g, 0, 255).astype(jnp.uint8)
 
-    batched = jax.vmap(one)
+    # src: per-sample slots (mapped) or the shared pack (broadcast)
+    batched = jax.vmap(one, in_axes=(None if resident else 0,) + (0,) * 10)
+
+    if resident:
+
+        @jax.jit
+        def augment_batch(pack, tile_idx, aug):
+            return batched(pack, tile_idx, aug["regions"], aug["offs"],
+                           aug["minv"], aug["mix_r"], aug["hsv_mult"],
+                           aug["hsv_on"], aug["gray"], aug["flipud"],
+                           aug["fliplr"])
+
+        return augment_batch
 
     @jax.jit
     def augment_batch(tiles, aug):
-        return batched(tiles, aug["regions"], aug["offs"], aug["minv"],
-                       aug["mix_r"], aug["hsv_mult"], aug["hsv_on"],
-                       aug["gray"], aug["flipud"], aug["fliplr"])
+        b = tiles.shape[0]
+        idx = jnp.tile(jnp.arange(n_slots, dtype=jnp.int32), (b, 1))
+        return batched(tiles, idx, aug["regions"],
+                       aug["offs"], aug["minv"], aug["mix_r"],
+                       aug["hsv_mult"], aug["hsv_on"], aug["gray"],
+                       aug["flipud"], aug["fliplr"])
 
     return augment_batch

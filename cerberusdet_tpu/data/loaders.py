@@ -104,23 +104,51 @@ class DataLoader:
         self.num_threads = max(num_threads, 1)
         self.num_workers = max(num_workers, 0)  # >0: process pool
         self._pool = None
-        # device_augment: workers emit pixel-free SamplePlans + raw pack
-        # tiles; the mosaic/warp/HSV/flip pipeline runs as one jitted XLA
-        # program on the accelerator (data/device_augment.py)
+        # device_augment: workers emit pixel-free SamplePlans; the
+        # mosaic/warp/HSV/flip pipeline runs as one jitted XLA program on
+        # the accelerator (data/device_augment.py). When the packed image
+        # cache fits the HBM budget (CERBERUS_DEVICE_PACK_GB, default 2.0)
+        # it is uploaded ONCE and batches ship only tile indices + warp
+        # params (KBs); otherwise tiles ship per batch.
         self.device_augment = device_augment
         self._aug_fn = None
+        self._dev_pack = None
+        self._resident = False
+        self._axis_aligned = False
+        if device_augment and dataset._pack is not None:
+            budget = float(os.environ.get("CERBERUS_DEVICE_PACK_GB", "2.0"))
+            self._resident = dataset._pack[0].nbytes <= budget * 1e9
+            # rotation/shear/perspective-free hyps (every shipped config)
+            # take the MXU-matmul warp instead of element gathers
+            hyp = dataset.hyp
+            self._axis_aligned = not (hyp.get("degrees", 0)
+                                      or hyp.get("shear", 0)
+                                      or hyp.get("perspective", 0))
 
     def _augment_on_device(self, item):
-        """{tiles, aug, ...} -> {img: device array, ...} via the jitted
-        augmentation program (dispatch is async; it overlaps the next host
-        batch and the train step)."""
-        if self._aug_fn is None:
-            from cerberusdet_tpu.data.device_augment import make_augment_fn
+        """{tiles|tile_idx, aug, ...} -> {img: device array, ...} via the
+        jitted augmentation program (dispatch is async; it overlaps the next
+        host batch and the train step)."""
+        from cerberusdet_tpu.data.device_augment import make_augment_fn
 
-            self._aug_fn = make_augment_fn(
-                self.dataset.imgsz, item["tiles"].shape[1])
         item = dict(item)
-        item["img"] = self._aug_fn(item.pop("tiles"), item.pop("aug"))
+        if "tile_idx" in item:
+            if self._aug_fn is None:
+                self._aug_fn = make_augment_fn(
+                    self.dataset.imgsz, item["tile_idx"].shape[1],
+                    resident=True, axis_aligned=self._axis_aligned)
+            if self._dev_pack is None:
+                import jax
+
+                self._dev_pack = jax.device_put(np.asarray(self.dataset._pack[0]))
+            item["img"] = self._aug_fn(self._dev_pack, item.pop("tile_idx"),
+                                       item.pop("aug"))
+        else:
+            if self._aug_fn is None:
+                self._aug_fn = make_augment_fn(
+                    self.dataset.imgsz, item["tiles"].shape[1],
+                    axis_aligned=self._axis_aligned)
+            item["img"] = self._aug_fn(item.pop("tiles"), item.pop("aug"))
         return item
 
     def _collate_batch(self, idxs, pool=None):
@@ -129,7 +157,8 @@ class DataLoader:
             from cerberusdet_tpu.data.device_augment import collate_device, plan_sample
 
             plans = [plan_sample(self.dataset, i) for i in idxs]
-            return collate_device(self.dataset, plans, self.max_labels, pool)
+            return collate_device(self.dataset, plans, self.max_labels, pool,
+                                  as_indices=self._resident)
         return collate([self.dataset[i] for i in idxs], self.max_labels)
 
     def set_epoch(self, epoch: int):
@@ -152,6 +181,13 @@ class DataLoader:
 
                 ds = copy.copy(ds)
                 ds._im_cache = None
+            if self.device_augment and getattr(ds, "_pack", None) is not None:
+                # planner workers only read the pack's hw tables — don't
+                # pickle the (possibly GB-sized) pixel array into each worker
+                import copy
+
+                ds = copy.copy(ds)
+                ds._pack = (None, ds._pack[1], ds._pack[2])
             # spawn, not fork: the pool is built from the prefetch thread of
             # a multi-threaded (JAX) process — forking here can clone a held
             # lock into the child and deadlock it before _init_worker runs
@@ -216,7 +252,8 @@ class DataLoader:
                             plans = list(pool.map(_worker_getplan,
                                                   [epoch] * len(idxs), idxs))
                             q.put(collate_device(self.dataset, plans,
-                                                 self.max_labels))
+                                                 self.max_labels,
+                                                 as_indices=self._resident))
                         else:
                             samples = list(pool.map(_worker_getitem,
                                                     [epoch] * len(idxs), idxs))
@@ -235,7 +272,8 @@ class DataLoader:
                                 plans = list(pool.map(
                                     lambda i: plan_sample(self.dataset, i), idxs))
                                 q.put(collate_device(self.dataset, plans,
-                                                     self.max_labels, pool))
+                                                     self.max_labels, pool,
+                                                     as_indices=self._resident))
                             else:
                                 samples = list(pool.map(self.dataset.__getitem__, idxs))
                                 q.put(collate(samples, self.max_labels))

@@ -45,7 +45,7 @@ def make_dataset(root: Path, n_images: int, size: int):
 
 def run(imgsz: int, n: int, threads, augment: bool, batch: int = 32,
         src_size: int = 0, fast_decode=None, num_workers: int = 0,
-        cache_images=""):
+        cache_images="", augment_device: bool = False):
     from cerberusdet_tpu.data.loaders import create_dataloader
 
     with tempfile.TemporaryDirectory() as td:
@@ -54,9 +54,20 @@ def run(imgsz: int, n: int, threads, augment: bool, batch: int = 32,
             path, imgsz=imgsz, batch_size=batch, augment=augment,
             hyp=AUG_HYP if augment else None, task="bench", seed=0,
             host_sharded=False, num_threads=threads, fast_decode=fast_decode,
-            num_workers=num_workers, cache_images=cache_images)
+            num_workers=num_workers, cache_images=cache_images,
+            augment_device=augment_device)
+
+        def fence(b):
+            # device-augmented batches are async jit dispatches: only a
+            # fetch is a true completion fence on the relay
+            if augment_device:
+                import numpy as _np
+
+                _np.asarray(b["img"][-1, ::64, ::64])
+            return b
+
         it = iter(loader)
-        next(it)  # warm the pipeline (thread pool spin-up, cv2 init)
+        fence(next(it))  # warm the pipeline (pools, cv2 init, jit compile)
         seen = 0
         t0 = time.perf_counter()
         while seen < n:
@@ -65,6 +76,7 @@ def run(imgsz: int, n: int, threads, augment: bool, batch: int = 32,
             except StopIteration:
                 it = iter(loader)
                 b = next(it)
+            fence(b)
             seen += len(b["img"])
         dt = time.perf_counter() - t0
         it.close()  # stop the prefetch worker before the tmpdir is removed
@@ -89,11 +101,15 @@ def main(argv=None):
     p.add_argument("--proc-workers", type=int, default=0,
                    help="decode/augment in N worker PROCESSES instead of "
                         "threads (the reference's torch-DataLoader model)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run mosaic/warp/HSV on the accelerator "
+                        "(data/device_augment.py); implies --cache-images disk")
     args = p.parse_args(argv)
     fast = {"auto": None, "on": True, "off": False}[args.fast_decode]
     rate = run(args.imgsz, args.n, args.threads, not args.no_aug,
                src_size=args.src_size, fast_decode=fast,
-               num_workers=args.proc_workers, cache_images=args.cache_images)
+               num_workers=args.proc_workers, cache_images=args.cache_images,
+               augment_device=args.device_augment)
     print(json.dumps({
         "imgs_per_sec": round(rate, 1),
         "threads": args.threads or "auto",
@@ -102,6 +118,7 @@ def main(argv=None):
         "src_size": args.src_size or args.imgsz,
         "fast_decode": args.fast_decode,
         "cache_images": args.cache_images,
+        "device_augment": args.device_augment,
     }))
     return rate
 

@@ -151,6 +151,69 @@ def test_create_dataloader_device_augment(toy_root, tmp_path):
         break
 
 
+def test_resident_pack_matches_shipped_tiles(toy_root, tmp_path):
+    """The device-resident pack path (ship indices, gather from HBM) must be
+    BIT-IDENTICAL to the per-batch tile-shipping path."""
+    import jax
+
+    host, dev = _pair(toy_root, tmp_path, HYP_FULL)
+    plans = [plan_sample(dev, i) for i in range(6)]
+    shipped = collate_device(dev, plans, max_labels=20)
+    indexed = collate_device(dev, plans, max_labels=20, as_indices=True)
+    aug_ship = make_augment_fn(dev.imgsz, 8)
+    aug_res = make_augment_fn(dev.imgsz, 8, resident=True)
+    pack_dev = jax.device_put(np.asarray(dev._pack[0]))
+    out_ship = np.asarray(aug_ship(shipped["tiles"], shipped["aug"]))
+    out_res = np.asarray(aug_res(pack_dev, indexed["tile_idx"], indexed["aug"]))
+    np.testing.assert_array_equal(out_res, out_ship)
+    np.testing.assert_array_equal(indexed["cls"], shipped["cls"])
+
+
+HYP_AA = dict(HYP_FULL, degrees=0.0, shear=0.0, perspective=0.0)
+
+
+def test_matmul_warp_matches_gather(toy_root, tmp_path):
+    """For axis-aligned warps (every shipped hyp) the MXU-matmul formulation
+    must match the gather formulation to float tolerance — and bitwise for
+    integer translations."""
+    host, dev = _pair(toy_root, tmp_path, HYP_AA, seed=21)
+    plans = [plan_sample(dev, i) for i in range(8)]
+    batch = collate_device(dev, plans, max_labels=20)
+    g = np.asarray(make_augment_fn(dev.imgsz, 8)(batch["tiles"], batch["aug"]))
+    m = np.asarray(make_augment_fn(dev.imgsz, 8, axis_aligned=True)(
+        batch["tiles"], batch["aug"]))
+    diff = np.abs(m.astype(np.int32) - g.astype(np.int32))
+    # identical up to rounding-boundary flips from float-association
+    # differences (round/floor boundaries can shift a value by 1 twice)
+    assert diff.max() <= 2 and (diff > 0).mean() < 0.01
+
+    # integer geometry: bitwise vs gather AND vs the host cv2 paint
+    hosti, devi = _pair(toy_root, tmp_path, HYP_INT, seed=22)
+    plans = [plan_sample(devi, i) for i in range(8)]
+    batch = collate_device(devi, plans, max_labels=20)
+    m = np.asarray(make_augment_fn(devi.imgsz, 4, axis_aligned=True)(
+        batch["tiles"], batch["aug"]))
+    for i in range(8):
+        img_host, _, _ = hosti[i]
+        np.testing.assert_array_equal(m[i], img_host, err_msg=f"sample {i}")
+
+
+def test_matmul_close_to_host_pipeline(toy_root, tmp_path):
+    """Axis-aligned full pipeline (scale+translate+mixup+HSV+flips) through
+    the matmul warp stays close to the host cv2 path."""
+    host, dev = _pair(toy_root, tmp_path, HYP_AA, seed=23)
+    plans = [plan_sample(dev, i) for i in range(10)]
+    batch = collate_device(dev, plans, max_labels=20)
+    m = np.asarray(make_augment_fn(dev.imgsz, 8, axis_aligned=True)(
+        batch["tiles"], batch["aug"]))
+    for i in range(10):
+        if plans[i].blurred:
+            continue
+        img_host, _, _ = host[i]
+        diff = np.abs(m[i].astype(np.int32) - img_host.astype(np.int32))
+        assert diff.mean() < 3.0, f"sample {i}: mean|diff|={diff.mean():.2f}"
+
+
 def test_requires_pack(toy_root, tmp_path):
     ds = DetectionDataset(toy_root, imgsz=128, augment=True, hyp=HYP_FULL,
                           cache_dir=str(tmp_path / "nopack"), seed=0)
