@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -75,6 +76,10 @@ def pad_batch_to(batch: Dict[str, Any], size: int):
         if x.shape[0] == size:
             return x
         widths = [(0, size - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+        if isinstance(x, jax.Array):
+            # device-born arrays (e.g. --augment-device images) stay on
+            # device: a np.pad here would round-trip them through the host
+            return jnp.pad(x, widths)
         return np.pad(np.asarray(x), widths)
 
     out = {k: pad(v) for k, v in batch.items()}

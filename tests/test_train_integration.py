@@ -127,6 +127,22 @@ def test_augment_device_training(tmp_path, two_task_data):
 
 
 @pytest.mark.slow
+def test_augment_device_with_mesh(tmp_path, two_task_data):
+    """Device-augmented batches (jax arrays born on the default device) must
+    flow through the mesh path's pad/shard steps onto the 8-device grid."""
+    loop = TrainLoop(
+        _opt(tmp_path, epochs=1, augment_device=True, use_mesh=True,
+             noval=True, nosave=True),
+        two_task_data,
+        _hyp(mosaic=1.0, fliplr=0.5),
+    )
+    assert loop.mesh is not None
+    out = loop.train_epoch(0)
+    for t in ("t1", "t2"):
+        assert np.all(np.isfinite(out[t])), out
+
+
+@pytest.mark.slow
 def test_evolution_loop(tmp_path, two_task_data):
     opt = _opt(tmp_path, epochs=1, nosave=True)
     evolver = Yolov5Evolver(opt, _hyp(), two_task_data, generations=2,
