@@ -158,6 +158,10 @@ def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
     if ds._pack is None:
         raise RuntimeError(
             "augment_device requires cache_images='disk' (the packed memmap)")
+    if not ds.augment:
+        # the host __getitem__ gates every augmentation behind ds.augment;
+        # planning an eval dataset would silently warp/flip its images
+        raise RuntimeError("augment_device requires an augment=True dataset")
     index = int(ds.indices[index])
     rng = random.Random(hash((ds.seed, ds.epoch, index)))
     hyp = ds.hyp
@@ -246,17 +250,9 @@ def collate_device(ds: DetectionDataset, plans: List[SamplePlan],
             for i in range(b):
                 fill(i)
 
-    cls = np.zeros((b, max_labels), np.int32)
-    prob = np.zeros((b, max_labels), np.float32)
-    boxes = np.zeros((b, max_labels, 4), np.float32)
-    mask = np.zeros((b, max_labels), bool)
-    for i, p in enumerate(plans):
-        n = min(len(p.labels), max_labels)
-        if n:
-            cls[i, :n] = p.labels[:n, 0].astype(np.int32)
-            prob[i, :n] = p.labels[:n, 1]
-            boxes[i, :n] = p.labels[:n, 2:6]
-            mask[i, :n] = True
+    from cerberusdet_tpu.data.loaders import pad_labels
+
+    labels = pad_labels([p.labels for p in plans], max_labels)
     aug = {
         "regions": np.stack([p.regions for p in plans]),
         "offs": np.stack([p.offs for p in plans]),
@@ -268,10 +264,7 @@ def collate_device(ds: DetectionDataset, plans: List[SamplePlan],
         "flipud": np.asarray([p.flipud for p in plans]),
         "fliplr": np.asarray([p.fliplr for p in plans]),
     }
-    out = {
-        "aug": aug, "cls": cls, "prob": prob, "bboxes": boxes,
-        "mask": mask, "meta": [p.meta for p in plans],
-    }
+    out = {"aug": aug, "meta": [p.meta for p in plans], **labels}
     if as_indices:
         out["tile_idx"] = tile_idx
     else:

@@ -37,6 +37,12 @@ from cerberusdet_tpu.data.samplers import BalancedSampler, HostShardSampler, Shu
 # cannot perturb results.
 _WORKER_DS: Optional[DetectionDataset] = None
 
+# HBM bytes claimed by device-resident packs across ALL loaders in this
+# process (multi-task training builds one loader per task; the residency
+# budget must bound the TOTAL, not each pack individually)
+_RESIDENT_CLAIMED = 0
+_RESIDENT_LOCK = threading.Lock()
+
 
 def _init_worker(dataset: DetectionDataset) -> None:
     global _WORKER_DS
@@ -61,28 +67,36 @@ def _worker_getplan(epoch: int, index: int):
     return plan_sample(_WORKER_DS, index)
 
 
-def collate(samples: List[tuple], max_labels: int = 300) -> Dict[str, Any]:
-    """[(img, labels (n,6), meta)] -> dense batch dict.
-
-    Returns {'img': (B,H,W,3) uint8, 'cls': (B,M) i32, 'prob': (B,M) f32,
-    'bboxes': (B,M,4) f32 xywhn, 'mask': (B,M) bool, 'meta': [meta...]}."""
-    b = len(samples)
-    imgs = np.stack([s[0] for s in samples])
+def pad_labels(labels: List[np.ndarray], max_labels: int) -> Dict[str, np.ndarray]:
+    """Dense-pad per-sample (n, 6) [cls, prob, xywhn] label arrays to
+    {'cls': (B,M) i32, 'prob': (B,M) f32, 'bboxes': (B,M,4) f32,
+    'mask': (B,M) bool}. Shared by the host collate and the device-augment
+    collate so batch semantics cannot drift apart."""
+    b = len(labels)
     cls = np.zeros((b, max_labels), np.int32)
     prob = np.zeros((b, max_labels), np.float32)
     boxes = np.zeros((b, max_labels, 4), np.float32)
     mask = np.zeros((b, max_labels), bool)
-    for i, (_, lb, _) in enumerate(samples):
+    for i, lb in enumerate(labels):
         n = min(len(lb), max_labels)
         if n:
             cls[i, :n] = lb[:n, 0].astype(np.int32)
             prob[i, :n] = lb[:n, 1]
             boxes[i, :n] = lb[:n, 2:6]
             mask[i, :n] = True
-    return {
-        "img": imgs, "cls": cls, "prob": prob, "bboxes": boxes, "mask": mask,
-        "meta": [s[2] for s in samples],
-    }
+    return {"cls": cls, "prob": prob, "bboxes": boxes, "mask": mask}
+
+
+def collate(samples: List[tuple], max_labels: int = 300) -> Dict[str, Any]:
+    """[(img, labels (n,6), meta)] -> dense batch dict.
+
+    Returns {'img': (B,H,W,3) uint8, 'cls': (B,M) i32, 'prob': (B,M) f32,
+    'bboxes': (B,M,4) f32 xywhn, 'mask': (B,M) bool, 'meta': [meta...]}."""
+    imgs = np.stack([s[0] for s in samples])
+    out = pad_labels([s[1] for s in samples], max_labels)
+    out["img"] = imgs
+    out["meta"] = [s[2] for s in samples]
+    return out
 
 
 class DataLoader:
@@ -114,10 +128,17 @@ class DataLoader:
         self._aug_fn = None
         self._dev_pack = None
         self._resident = False
+        self._claimed_bytes = 0
         self._axis_aligned = False
         if device_augment and dataset._pack is not None:
+            global _RESIDENT_CLAIMED
             budget = float(os.environ.get("CERBERUS_DEVICE_PACK_GB", "2.0"))
-            self._resident = dataset._pack[0].nbytes <= budget * 1e9
+            nbytes = dataset._pack[0].nbytes
+            with _RESIDENT_LOCK:
+                if _RESIDENT_CLAIMED + nbytes <= budget * 1e9:
+                    _RESIDENT_CLAIMED += nbytes
+                    self._claimed_bytes = nbytes
+                    self._resident = True
             # rotation/shear/perspective-free hyps (every shipped config)
             # take the MXU-matmul warp instead of element gathers
             hyp = dataset.hyp
@@ -151,15 +172,27 @@ class DataLoader:
             item["img"] = self._aug_fn(item.pop("tiles"), item.pop("aug"))
         return item
 
-    def _collate_batch(self, idxs, pool=None):
-        """Sequential (no-prefetch) batch assembly."""
-        if self.device_augment:
-            from cerberusdet_tpu.data.device_augment import collate_device, plan_sample
+    def _collate_plans(self, plans, pool=None):
+        from cerberusdet_tpu.data.device_augment import collate_device
 
-            plans = [plan_sample(self.dataset, i) for i in idxs]
-            return collate_device(self.dataset, plans, self.max_labels, pool,
-                                  as_indices=self._resident)
-        return collate([self.dataset[i] for i in idxs], self.max_labels)
+        return collate_device(self.dataset, plans, self.max_labels, pool,
+                              as_indices=self._resident)
+
+    def _collate_batch(self, idxs, pool=None):
+        """One batch, sampled on `pool` (or inline) — the single assembly
+        path shared by the sequential and thread-prefetch modes."""
+        if self.device_augment:
+            from cerberusdet_tpu.data.device_augment import plan_sample
+
+            plan = lambda i: plan_sample(self.dataset, i)  # noqa: E731
+            plans = (list(pool.map(plan, idxs)) if pool is not None
+                     else [plan(i) for i in idxs])
+            return self._collate_plans(plans, pool)
+        if pool is not None:
+            samples = list(pool.map(self.dataset.__getitem__, idxs))
+        else:
+            samples = [self.dataset[i] for i in idxs]
+        return collate(samples, self.max_labels)
 
     def set_epoch(self, epoch: int):
         if hasattr(self.sampler, "set_epoch"):
@@ -201,6 +234,12 @@ class DataLoader:
         if self._pool is not None:
             self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
+        if self._claimed_bytes:
+            global _RESIDENT_CLAIMED
+            with _RESIDENT_LOCK:
+                _RESIDENT_CLAIMED -= self._claimed_bytes
+            self._claimed_bytes = 0
+            self._dev_pack = None
 
     def __del__(self):
         try:
@@ -241,42 +280,26 @@ class DataLoader:
                 if self.num_workers:
                     pool = self._process_pool()
                     epoch = getattr(self.dataset, "epoch", 0)
-                    for idxs in self._batches():
-                        if cancel.is_set():
-                            return
-                        if self.device_augment:
-                            from cerberusdet_tpu.data.device_augment import (
-                                collate_device,
-                            )
-
-                            plans = list(pool.map(_worker_getplan,
-                                                  [epoch] * len(idxs), idxs))
-                            q.put(collate_device(self.dataset, plans,
-                                                 self.max_labels,
-                                                 as_indices=self._resident))
-                        else:
-                            samples = list(pool.map(_worker_getitem,
-                                                    [epoch] * len(idxs), idxs))
-                            q.put(collate(samples, self.max_labels))
+                    # tile memcpy (non-resident device mode) still spreads
+                    # over threads — numpy copies release the GIL
+                    with ThreadPoolExecutor(self.num_threads) as tpool:
+                        for idxs in self._batches():
+                            if cancel.is_set():
+                                return
+                            if self.device_augment:
+                                plans = list(pool.map(_worker_getplan,
+                                                      [epoch] * len(idxs), idxs))
+                                q.put(self._collate_plans(plans, tpool))
+                            else:
+                                samples = list(pool.map(_worker_getitem,
+                                                        [epoch] * len(idxs), idxs))
+                                q.put(collate(samples, self.max_labels))
                 else:
                     with ThreadPoolExecutor(self.num_threads) as pool:
                         for idxs in self._batches():
                             if cancel.is_set():
                                 return
-                            if self.device_augment:
-                                from cerberusdet_tpu.data.device_augment import (
-                                    collate_device,
-                                    plan_sample,
-                                )
-
-                                plans = list(pool.map(
-                                    lambda i: plan_sample(self.dataset, i), idxs))
-                                q.put(collate_device(self.dataset, plans,
-                                                     self.max_labels, pool,
-                                                     as_indices=self._resident))
-                            else:
-                                samples = list(pool.map(self.dataset.__getitem__, idxs))
-                                q.put(collate(samples, self.max_labels))
+                            q.put(self._collate_batch(idxs, pool))
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)
             finally:
