@@ -131,6 +131,26 @@ class DataLoader:
         self._claimed_bytes = 0
         self._axis_aligned = False
         if device_augment and dataset._pack is not None:
+            # rotation/shear/perspective-free hyps (every shipped config)
+            # take the MXU-matmul warp instead of element gathers
+            hyp = dataset.hyp
+            self._axis_aligned = not (hyp.get("degrees", 0)
+                                      or hyp.get("shear", 0)
+                                      or hyp.get("perspective", 0))
+            import jax
+
+            if (not self._axis_aligned
+                    and jax.default_backend() != "cpu"
+                    and not os.environ.get("CERBERUS_DEVICE_AUGMENT_GATHER")):
+                # the gather-warp fallback measured ~70x off on TPU (8 img/s
+                # vs 598, PROFILE.md) — a silent cliff; rotation hyps keep
+                # the host cv2 pipeline unless explicitly overridden
+                print("augment_device: hyp draws rotation/shear/perspective "
+                      "— falling back to host augmentation (the TPU gather "
+                      "warp is ~70x slower; set CERBERUS_DEVICE_AUGMENT_"
+                      "GATHER=1 to force the device path)")
+                self.device_augment = False
+        if self.device_augment and dataset._pack is not None:
             global _RESIDENT_CLAIMED
             budget = float(os.environ.get("CERBERUS_DEVICE_PACK_GB", "2.0"))
             nbytes = dataset._pack[0].nbytes
@@ -139,12 +159,6 @@ class DataLoader:
                     _RESIDENT_CLAIMED += nbytes
                     self._claimed_bytes = nbytes
                     self._resident = True
-            # rotation/shear/perspective-free hyps (every shipped config)
-            # take the MXU-matmul warp instead of element gathers
-            hyp = dataset.hyp
-            self._axis_aligned = not (hyp.get("degrees", 0)
-                                      or hyp.get("shear", 0)
-                                      or hyp.get("perspective", 0))
 
     def _augment_on_device(self, item):
         """{tiles|tile_idx, aug, ...} -> {img: device array, ...} via the
