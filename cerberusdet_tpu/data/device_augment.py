@@ -374,7 +374,7 @@ def _axis_matrices(minv_row, regions, offs, S_out, S, axis):
     tile t's region interval and shifted by its canvas->tile offset. The
     warp then becomes two MXU matmuls per tile instead of per-element
     gathers (XLA's TPU gather lowering is ~100x off speed-of-light; the
-    matmul form measures ~400x faster end-to-end).
+    matmul form measures ~70x faster end-to-end).
 
     minv_row: (3,) the axis' row of the inverse warp; regions (4, 2) the
     [lo, hi) interval of each tile on this axis; offs (4,) tile offsets;
@@ -431,8 +431,9 @@ def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
         intermediate is ever materialized. This is the default whenever the
         pack fits the budget — data lives where compute is.
     axis_aligned=True: the warps carry no rotation/shear/perspective
-        (degrees == shear == perspective == 0 — true of every shipped hyp,
-        the reference's included), so the bilinear resample is separable and
+        (degrees == shear == perspective == 0 — YOLOv8's defaults and
+        hyp.cerber-default; the tuned voc_obj365 recipe draws tiny
+        rotations and stays on the host path), so the bilinear resample is separable and
         runs as MXU matmuls (_warp_mm) instead of element gathers.
     """
     import jax

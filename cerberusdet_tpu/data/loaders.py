@@ -131,8 +131,8 @@ class DataLoader:
         self._claimed_bytes = 0
         self._axis_aligned = False
         if device_augment and dataset._pack is not None:
-            # rotation/shear/perspective-free hyps (every shipped config)
-            # take the MXU-matmul warp instead of element gathers
+            # rotation/shear/perspective-free hyps (the defaults) take the
+            # MXU-matmul warp instead of element gathers
             hyp = dataset.hyp
             self._axis_aligned = not (hyp.get("degrees", 0)
                                       or hyp.get("shear", 0)

@@ -173,7 +173,7 @@ HYP_AA = dict(HYP_FULL, degrees=0.0, shear=0.0, perspective=0.0)
 
 
 def test_matmul_warp_matches_gather(toy_root, tmp_path):
-    """For axis-aligned warps (every shipped hyp) the MXU-matmul formulation
+    """For axis-aligned warps (the default hyps) the MXU-matmul formulation
     must match the gather formulation to float tolerance — and bitwise for
     integer translations."""
     host, dev = _pair(toy_root, tmp_path, HYP_AA, seed=21)
