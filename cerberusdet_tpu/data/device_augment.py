@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import random
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 
@@ -79,13 +79,6 @@ class SamplePlan:
     fliplr: bool
     labels: np.ndarray     # (n, 6) final [cls, prob, cx, cy, w, h] normalized
     meta: dict = field(default_factory=dict)
-
-
-def _empty_warp():
-    regions = np.zeros((4, 4), np.float32)
-    offs = np.zeros((4, 2), np.float32)
-    minv = np.eye(3, dtype=np.float32)
-    return regions, offs, minv
 
 
 def _plan_mosaic_warp(ds: DetectionDataset, index: int, rng):

@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env is set)
 
 jax.config.update("jax_platform_name", "cpu")
+# authoritative: prevent backends() from creating the remote-TPU (axon)
+# client at all — the suite is CPU-only and must not depend on (or queue
+# behind) the tunnel's client slots
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the 640px golden-parity tests compile v8x-sized
 # fp64 programs (~5-10 min each on this 1-core host) — cache them across

@@ -86,11 +86,16 @@ def param_checksum(state, mesh):
     return float(fn(state))
 
 
-def run_trainloop(pid: int, out_path: str):
+def run_trainloop(pid: int, out_path: str, device_augment: bool = False):
     """Full TrainLoop for 2 epochs under 2-process JAX: host-sharded train
     loaders, process-0-only val/ckpt/logs, broadcast stop/fitness. Each host
     generates the identical tiny dataset (seeded) in its own tmp dir — the
-    file-level twin of every host mounting the same dataset."""
+    file-level twin of every host mounting the same dataset.
+
+    device_augment=True additionally routes each host's shard through the
+    device-side augmentation pipeline (plans + resident pack + jitted
+    mosaic/warp program) — the multi-process composition of
+    data/device_augment.py."""
     import tempfile
 
     import cv2
@@ -120,11 +125,14 @@ def run_trainloop(pid: int, out_path: str):
         cfg=str(REPO / "configs/models/yolov8n.yaml"),
         data=str(tmp / "data.yaml"), epochs=2, batch_size=4, imgsz=64,
         project=str(tmp / "runs"), name="mh", patience=5, plots=False,
+        augment_device=device_augment,
     )
     import cerberusdet_tpu.manager.run_manager as rm
 
     with open(REPO / "configs/hyps/hyp.cerber-default.yaml") as f:
         hyp = yaml.safe_load(f)
+    if device_augment:
+        hyp.update(dict(mosaic=1.0, fliplr=0.5))
     loop = TrainLoop(opt, rm.parse_data_config(opt.data), hyp, use_mesh=True)
     fi = loop.train()
 
@@ -204,12 +212,27 @@ def main():
     import jax
 
     jax.config.update("jax_platform_name", "cpu")
+    # authoritative platform restriction: the axon sitecustomize imports jax
+    # BEFORE this process's env override, so JAX_PLATFORMS=cpu from os.environ
+    # can be read too late — without this line backends() still creates the
+    # remote-TPU client in every worker, which BLOCKS when the tunnel has no
+    # free client slots (observed: both workers hung in make_c_api_client)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # share the persistent compile cache with conftest: the two workers
+    # compile identical programs (same 8-device topology), and repeat CI
+    # runs start warm — on this 1-core host that is most of the wall time
+    cache = str(REPO / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     jax.distributed.initialize(f"localhost:{port}", num_processes=2,
                                process_id=pid)
     sys.path.insert(0, str(REPO))
     if mode == "trainloop":
         run_trainloop(pid, out_path)
+        return
+    if mode == "trainloop-devaug":
+        run_trainloop(pid, out_path, device_augment=True)
         return
     if mode == "val":
         # sharded standalone val: data dir passed by the test (argv[5])

@@ -113,6 +113,41 @@ def test_two_process_full_trainloop(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_trainloop_device_augment(tmp_path):
+    """Multi-process composition of the device-side augmentation pipeline:
+    each host plans its own shard, holds its own resident pack, and the two
+    hosts' replicated params stay identical through 2 epochs."""
+    port = _free_port()
+    outs = [tmp_path / f"d{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests/multihost_worker.py"),
+             str(i), str(port), str(outs[i]), "trainloop-devaug"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append((p.returncode, out, err))
+    for rc, out, err in logs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err[-3000:]}"
+
+    w0, w1 = (json.loads(o.read_text()) for o in outs)
+    assert w0["ckpt_written"] and not w1["ckpt_written"]
+    assert w0["fitness"] == pytest.approx(w1["fitness"], abs=1e-6)
+    assert np.isfinite(w0["param_checksum"])
+    assert w0["param_checksum"] == pytest.approx(w1["param_checksum"], rel=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_sharded_val_equals_full_val(tmp_path):
     """VERDICT r2 item 7: standalone val sharded across 2 processes (host-
     sharded loader + all-gathered stats) must equal the single-process
