@@ -4,7 +4,7 @@ inference forward) on the current backend.
 Usage:
     python -m cerberusdet_tpu.tools.profile_step --out /tmp/trace \
         [--mode train|infer] [--cfg configs/models/yolov8x_2task.yaml]
-        [--imgsz 640] [--batch 8] [--iters 5]
+        [--imgsz 640] [--batch 8] [--iters 5] [--max-labels 60]
 
 The trace directory opens in TensorBoard's profile plugin (or xprof) and
 shows per-fusion device time — the data behind PROFILE.md.
@@ -23,6 +23,7 @@ def main(argv=None):
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--max-labels", type=int, default=60)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 train step (matches PROFILE.md's numbers; "
                         "infer mode is always bf16)")
@@ -63,7 +64,7 @@ def main(argv=None):
 
         def batch(nc, seed):
             r = np.random.default_rng(seed)
-            b, m = args.batch, 60
+            b, m = args.batch, args.max_labels
             return {
                 "img": jnp.asarray(r.uniform(0, 1, (b, args.imgsz, args.imgsz, 3)),
                                    jnp.float32),
