@@ -79,3 +79,43 @@ def test_loss_matches_reference():
         [float(items.box), float(items.cls), float(items.dfl)],
         ref_items[:3], rtol=2e-4,
     )
+
+
+def test_df_loss_masked_selection_equals_gather():
+    """The DFL bin selection is a masked reduction (no TPU gather —
+    PROFILE.md 'DFL loss gather elimination'); values AND gradients must be
+    bitwise identical to the take_along_axis formulation it replaced."""
+    import jax
+    import jax.numpy as jnp
+
+    from cerberusdet_tpu.train.loss import _df_loss
+
+    reg_max = 16
+
+    def df_loss_gather(pred_dist, target):
+        tl = jnp.floor(target).astype(jnp.int32)
+        tr = tl + 1
+        wl = tr.astype(target.dtype) - target
+        wr = 1.0 - wl
+        logp = jax.nn.log_softmax(pred_dist, axis=-1)
+        take = lambda idx: jnp.take_along_axis(
+            logp, jnp.clip(idx, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+        ce = -(take(tl) * wl + take(tr) * wr)
+        return jnp.mean(ce, axis=-1)
+
+    rng = np.random.default_rng(3)
+    pred = jnp.asarray(rng.normal(0, 3, (2, 57, 4, reg_max)), jnp.float32)
+    # targets cover interior, exact-integer, and clip boundaries
+    tgt = jnp.asarray(
+        np.concatenate([
+            rng.uniform(0, reg_max - 1, (2, 55, 4)),
+            np.full((2, 1, 4), 0.0),
+            np.full((2, 1, 4), reg_max - 1 - 1e-6),
+        ], axis=1), jnp.float32)
+
+    ours, g_ours = jax.value_and_grad(
+        lambda p: jnp.sum(_df_loss(p, tgt, reg_max)))(pred)
+    ref, g_ref = jax.value_and_grad(
+        lambda p: jnp.sum(df_loss_gather(p, tgt)))(pred)
+    assert np.array_equal(np.asarray(ours), np.asarray(ref))
+    assert np.array_equal(np.asarray(g_ours), np.asarray(g_ref))
