@@ -13,7 +13,6 @@ Behavioral parity target: cerberusdet/data/datasets.py:171-542
 
 from __future__ import annotations
 
-import math
 import random
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple

@@ -10,7 +10,7 @@ and AP accumulation stay on host in numpy for exactness.
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

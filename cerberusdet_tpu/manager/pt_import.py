@@ -22,7 +22,7 @@ equivalence, models/cerberus.py docstring).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

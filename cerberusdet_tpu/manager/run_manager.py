@@ -11,11 +11,9 @@ save_model/save_best_task_model (:262-308), train/val scalar logging
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
-import numpy as np
 import yaml
 
 from cerberusdet_tpu.manager.checkpoint import load_checkpoint, save_checkpoint

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from cerberusdet_tpu.models.config import ParsedModel, parse_model_cfg
-from cerberusdet_tpu.nn.layers import Detect, Layer
+from cerberusdet_tpu.nn.layers import Detect
 from cerberusdet_tpu.nn.module import Ctx, Params, split_rng
 
 Label = Tuple[Tuple[int, int], ...]  # ((split_layer, group_idx), ...)

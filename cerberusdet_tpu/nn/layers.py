@@ -9,7 +9,7 @@ Behavioral parity targets (not ports): cerberusdet/models/common.py:11-295
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

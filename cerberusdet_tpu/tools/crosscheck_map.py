@@ -18,7 +18,6 @@ Requires /root/reference and the tests/ref_torch stub loader (dev tool).
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import tempfile

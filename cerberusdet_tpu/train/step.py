@@ -24,8 +24,7 @@ all-reduces (no NCCL/DDP analog needed).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

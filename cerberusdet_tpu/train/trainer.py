@@ -24,7 +24,7 @@ from cerberusdet_tpu.manager.run_manager import RunManager
 from cerberusdet_tpu.train.loss import DetectionLoss, scale_loss_gains
 from cerberusdet_tpu.train.optim import SGDConfig
 from cerberusdet_tpu.train.schedules import EarlyStopping, lr_lambda, warmup_lrs
-from cerberusdet_tpu.train.step import MultiTaskTrainer, TrainState, init_train_state
+from cerberusdet_tpu.train.step import MultiTaskTrainer, init_train_state
 from cerberusdet_tpu.utils.hyp import get_hyperparameter, task_hyp_view
 
 

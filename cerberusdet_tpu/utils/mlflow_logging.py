@@ -11,7 +11,6 @@ error for models:/ URIs.
 from __future__ import annotations
 
 import hashlib
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
