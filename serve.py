@@ -50,6 +50,15 @@ def main(argv=None):
     engine = BatchingEngine(inference, pre, max_batch=opt.max_batch,
                             max_wait_ms=opt.max_wait_ms)
     tasks = list(inference.names)
+    # compile the ONE serving program (a partial batch pads to max_batch, so
+    # this dummy request traces the exact shape every future batch uses)
+    # BEFORE accepting traffic — otherwise the first clients eat the full
+    # XLA compile as request latency and time out
+    import numpy as np
+
+    print(f"warming up the batch-{opt.max_batch} serving program ...",
+          flush=True)
+    engine.submit(np.full((opt.imgsz, opt.imgsz, 3), 114, np.uint8)).result()
     server = make_server(engine, tasks, host=opt.host, port=opt.port)
     print(f"serving {tasks} on {opt.host}:{opt.port} "
           f"(batch {opt.max_batch}, wait {opt.max_wait_ms}ms, int8={opt.int8})")
