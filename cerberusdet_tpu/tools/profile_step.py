@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 train step (matches PROFILE.md's numbers; "
                         "infer mode is always bf16)")
+    p.add_argument("--int8", default="off", choices=["off", "deep", "all"],
+                   help="infer mode only: trace the int8-PTQ graph (random "
+                        "calibration batch; timing-faithful, accuracy-"
+                        "irrelevant)")
     args = p.parse_args(argv)
 
     import jax
@@ -43,6 +47,15 @@ def main(argv=None):
 
     if args.mode == "infer":
         params = model.fuse(params)
+        if args.int8 != "off":
+            from cerberusdet_tpu.quant.ptq import (
+                calibrate_amax, quantize_params, select_all, select_deep)
+
+            sel = select_all if args.int8 == "all" else select_deep()
+            cal = [np.random.default_rng(0).uniform(
+                0, 1, (2, args.imgsz, args.imgsz, 3)).astype(np.float32)]
+            amax = calibrate_amax(model, params, cal)
+            params = quantize_params(params, amax, select=sel)
 
         @jax.jit
         def fn(params, img):

@@ -49,6 +49,10 @@ def parse_opt(argv=None):
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
                    help="debug override of the JAX backend (analog of the "
                         "reference's --device flag)")
+    p.add_argument("--compile-cache", default="off", metavar="DIR",
+                   help="persistent XLA compile cache dir ('' = "
+                        "~/.cache/cerberusdet_tpu/xla); repeated runs on the "
+                        "same config skip recompilation")
     return p.parse_args(argv)
 
 
@@ -88,8 +92,9 @@ def _calib_batches(opt, n: int = 8):
 
 def main(argv=None):
     opt = parse_opt(argv)
-    from cerberusdet_tpu.utils.checks import select_platform
+    from cerberusdet_tpu.utils.checks import enable_compile_cache, select_platform
     select_platform(opt.platform)
+    enable_compile_cache(opt.compile_cache)
     from cerberusdet_tpu.infer import (
         CerberusDetInference,
         CerberusPreprocessor,

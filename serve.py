@@ -32,13 +32,19 @@ def parse_opt(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="batch-fill wait after the first request arrives")
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu"])
+    p.add_argument("--compile-cache", default="", metavar="DIR",
+                   help="persistent XLA compile cache dir; restarts of the "
+                        "daemon deserialize the serving program instead of "
+                        "recompiling it (default ~/.cache/cerberusdet_tpu/"
+                        "xla, 'off' disables)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     opt = parse_opt(argv)
-    from cerberusdet_tpu.utils.checks import select_platform
+    from cerberusdet_tpu.utils.checks import enable_compile_cache, select_platform
     select_platform(opt.platform)
+    enable_compile_cache(opt.compile_cache)
     from cerberusdet_tpu.infer import CerberusDetInference, CerberusPreprocessor
     from cerberusdet_tpu.serve import BatchingEngine, make_server
 

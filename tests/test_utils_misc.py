@@ -187,3 +187,32 @@ def test_dump_model_graph(tmp_path):
     assert "stablehlo" in hlo or "func.func" in hlo
     cost = json.loads((tmp_path / "model_graph.cost.json").read_text())
     assert cost["params_m"] > 0 and cost["imgsz"] == 64
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    import jax
+
+    from cerberusdet_tpu.utils.checks import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # "off" disables: returns None, touches nothing
+        assert enable_compile_cache("off") is None
+        assert jax.config.jax_compilation_cache_dir == prev
+
+        d = enable_compile_cache(str(tmp_path / "xla"))
+        assert d == str(tmp_path / "xla")
+        assert (tmp_path / "xla").is_dir()
+        assert jax.config.jax_compilation_cache_dir == d
+        # every compile is cached, not just slow ones
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+
+        # default dir lands under the fake HOME
+        monkeypatch.setenv("HOME", str(tmp_path / "home"))
+        d2 = enable_compile_cache("")
+        assert d2.endswith("cerberusdet_tpu/xla")
+        import pathlib
+
+        assert pathlib.Path(d2).is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

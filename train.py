@@ -87,13 +87,18 @@ def parse_opt(argv=None):
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
                    help="debug override of the JAX backend (analog of the "
                         "reference's --device flag)")
+    p.add_argument("--compile-cache", default="off", metavar="DIR",
+                   help="persistent XLA compile cache dir ('' = "
+                        "~/.cache/cerberusdet_tpu/xla); repeated runs on the "
+                        "same config skip recompilation")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     opt_ns = parse_opt(argv)
-    from cerberusdet_tpu.utils.checks import select_platform
+    from cerberusdet_tpu.utils.checks import enable_compile_cache, select_platform
     select_platform(opt_ns.platform)
+    enable_compile_cache(opt_ns.compile_cache)
     from cerberusdet_tpu.manager.run_manager import parse_data_config
     from cerberusdet_tpu.train.trainer import TrainLoop, TrainOptions
     from cerberusdet_tpu.utils.seeds import init_seeds

@@ -41,6 +41,10 @@ def parse_opt(argv=None):
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu"],
                    help="debug override of the JAX backend (analog of the "
                         "reference's --device flag)")
+    p.add_argument("--compile-cache", default="off", metavar="DIR",
+                   help="persistent XLA compile cache dir ('' = "
+                        "~/.cache/cerberusdet_tpu/xla); repeated runs on the "
+                        "same config skip recompilation")
     p.add_argument("--int8", default="off", choices=["off", "deep", "all"],
                    help="post-training int8 quantization of the fused convs "
                         "(deep: c_in>=256 only); activation scales are "
@@ -136,8 +140,9 @@ def quantize_for_eval(model, params, data_dict, opt, n_calib_batches: int = 2):
 
 def main(argv=None):
     opt = parse_opt(argv)
-    from cerberusdet_tpu.utils.checks import select_platform
+    from cerberusdet_tpu.utils.checks import enable_compile_cache, select_platform
     select_platform(opt.platform)
+    enable_compile_cache(opt.compile_cache)
     from cerberusdet_tpu.data.loaders import create_dataloader
     from cerberusdet_tpu.evaluation.val import run_task
     from cerberusdet_tpu.manager.run_manager import parse_data_config
