@@ -187,8 +187,25 @@ class DetectionDataset:
         # decodes full-res — keep val bit-comparable); silent cv2 fallback.
         self.fast_decode = augment if fast_decode is None else fast_decode
         self._pack = None
+        self._pack_path = None
         if cache_mode == "disk":
             self._pack = self._build_pack(cache_path.parent)
+
+    def __getstate__(self):
+        """Pickle without cache payloads: shipping the dataset to a worker
+        process (loaders._process_pool, spawn) must not serialize the RAM
+        image cache or the packed memmap's pixel array — pickling an
+        np.memmap ships the FULL pixel payload (GBs for real datasets)
+        through the spawn pipe into every worker. Workers re-open the pack
+        from its path lazily on first pixel access (load_image)."""
+        state = self.__dict__.copy()
+        # disable (not just empty) the RAM cache in the copy: each worker
+        # re-filling its own would duplicate the whole cache per process
+        state["_im_cache"] = None
+        pack = state.get("_pack")
+        if pack is not None and pack[0] is not None:
+            state["_pack"] = (None, pack[1], pack[2])
+        return state
 
     def set_epoch(self, epoch: int):
         """Advance the augmentation RNG stream (per-epoch variety while
@@ -218,6 +235,7 @@ class DetectionDataset:
         # mode must not serve another
         want = (get_hash(self.img_files)
                 + f"|aug={int(self.augment)}|fast={int(bool(self.fast_decode))}")
+        self._pack_path = str(pack_path)
         if pack_path.exists() and meta_path.exists():
             meta = np.load(meta_path, allow_pickle=False)
             if str(meta["hash"]) == want and int(meta["n"]) == self.n:
@@ -233,11 +251,25 @@ class DetectionDataset:
             shape=(self.n, self.imgsz, self.imgsz, 3))
         hw0 = np.zeros((self.n, 2), np.int32)
         hw = np.zeros((self.n, 2), np.int32)
-        for i in range(self.n):
+
+        def fill(i: int) -> None:
             im, (h0, w0), (h, w) = self._decode_image(i)
             arr[i, :h, :w] = im
             hw0[i] = (h0, w0)
             hw[i] = (h, w)
+
+        # decode is the cost and it releases the GIL (cv2 / native) — build
+        # the one-time pack with a thread pool over disjoint slots instead
+        # of blocking dataset construction on a single core
+        workers = min(16, os.cpu_count() or 1)
+        if workers > 1 and self.n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(fill, range(self.n)))
+        else:
+            for i in range(self.n):
+                fill(i)
         arr.flush()
         del arr
         with open(tmp_meta, "wb") as f:
@@ -259,6 +291,9 @@ class DetectionDataset:
             return self._im_cache[i]
         if self._pack is not None:
             arr, hw0, hw = self._pack
+            if arr is None:  # pickled copy (worker process): re-open by path
+                arr = np.lib.format.open_memmap(self._pack_path, mode="r")
+                self._pack = (arr, hw0, hw)
             h, w = int(hw[i, 0]), int(hw[i, 1])
             # read-only memmap VIEW: every downstream consumer (mosaic paint,
             # letterbox copyMakeBorder, warpAffine) allocates before any

@@ -216,32 +216,22 @@ class DataLoader:
 
     def _process_pool(self):
         """Lazy worker-process pool; the dataset replica ships once per
-        worker at pool start. RAM image caches are dropped from the shipped
-        copy (each worker would duplicate them)."""
+        worker at pool start. Cache payloads (the RAM image cache and the
+        packed memmap's pixel array) are stripped by
+        DetectionDataset.__getstate__ during pickling — pixel-reading
+        workers re-open the pack from its path on first access, planner
+        workers (device_augment) never touch pixels at all."""
         if self._pool is None:
             import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
 
-            ds = self.dataset
-            if getattr(ds, "_im_cache", None) is not None:
-                import copy
-
-                ds = copy.copy(ds)
-                ds._im_cache = None
-            if self.device_augment and getattr(ds, "_pack", None) is not None:
-                # planner workers only read the pack's hw tables — don't
-                # pickle the (possibly GB-sized) pixel array into each worker
-                import copy
-
-                ds = copy.copy(ds)
-                ds._pack = (None, ds._pack[1], ds._pack[2])
             # spawn, not fork: the pool is built from the prefetch thread of
             # a multi-threaded (JAX) process — forking here can clone a held
             # lock into the child and deadlock it before _init_worker runs
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
                 mp_context=multiprocessing.get_context("spawn"),
-                initializer=_init_worker, initargs=(ds,))
+                initializer=_init_worker, initargs=(self.dataset,))
         return self._pool
 
     def close(self):

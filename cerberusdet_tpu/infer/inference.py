@@ -58,6 +58,7 @@ class CerberusDetInference:
         int8: str = "off",
         calib_batches=None,
         mesh=None,
+        warmup_batch: Optional[int] = None,
     ):
         """dtype overrides the half flag when given (e.g. jnp.float64 for
         numeric-parity debugging with jax_enable_x64; params are kept fp32
@@ -138,9 +139,12 @@ class CerberusDetInference:
             static_argnames=("conf_thres", "iou_thres", "iou_bt", "agnostic",
                              "max_det"),
         )
-        # warmup/compile at the nominal size
+        # warmup/compile at the nominal size; callers with a known serving
+        # batch (serve.py pads every batch to max_batch) pass warmup_batch
+        # so the ONE program shape they will actually run is compiled here —
+        # a batch-1 warmup would compile a second, never-used program
         self.img_size = img_size
-        self.warmup(img_size)
+        self.warmup(img_size, warmup_batch)
 
     # ------------------------------------------------------------------
     def warmup(self, img_size: int, batch: Optional[int] = None):

@@ -12,9 +12,9 @@ TPU way:
     bursty load). Padding rows are sliced off before responses.
   * The batcher thread owns the device: requests enqueue from any number of
     HTTP worker threads, results travel back through per-request futures.
-  * Throughput under load comes from batching (the 119.8 ms/batch32 int8
-    serving program amortizes to 3.7 ms/img); the `max_wait_ms` knob trades
-    tail latency for batch fill.
+  * Throughput under load comes from batching (the ~101 ms/batch32 int8
+    serving program — tools/bench_serving — amortizes to ~3.1 ms/img); the
+    `max_wait_ms` knob trades tail latency for batch fill.
 
 Serving endpoints (JSON; see serve.py for the CLI):
   POST /predict    image bytes (jpg/png/bmp) -> {"detections": [...]} using
@@ -35,6 +35,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List
 
 import numpy as np
+
+# request-body ceiling: generously above any real camera frame (a 100MP jpg
+# is ~30 MB) while bounding per-connection RAM under hostile Content-Length
+MAX_BODY_BYTES = 64 * 1024 * 1024
 
 
 class BatchingEngine:
@@ -166,9 +170,17 @@ def make_server(engine: BatchingEngine, tasks: List[str], host: str = "0.0.0.0",
             if not self.path.startswith("/predict"):
                 self._json(404, {"error": "unknown path"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(400, {"error": "bad Content-Length"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body"})
+                return
+            if length > MAX_BODY_BYTES:
+                self._json(413, {"error": f"body too large "
+                                          f"(max {MAX_BODY_BYTES} bytes)"})
                 return
             data = self.rfile.read(length)
             img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)

@@ -139,8 +139,13 @@ class TrainLoop:
                 max_labels=opt.max_labels, task=f"{task}_val",
                 single_cls=opt.single_cls, num_threads=opt.workers,
                 # the packed cache serves val too (bit-identical to the
-                # decode path), sparing every per-epoch val the re-decode
-                cache_images=opt.cache_images,
+                # decode path), sparing every per-epoch val the re-decode —
+                # but only where it pays: non-zero hosts never iterate this
+                # loader, and noval (evolve) runs val at most once at the
+                # end, so neither should eagerly decode the whole val set
+                cache_images=(opt.cache_images
+                              if jax.process_index() == 0 and not opt.noval
+                              else ""),
                 # process 0 validates the FULL set (reference rank-0 val);
                 # other hosts never iterate this loader
                 host_sharded=False,

@@ -258,13 +258,28 @@ def check_dataset(data: dict, autodownload: bool = True) -> dict:
     train, val, s = (data.get(x) for x in ("train", "val", "download"))
     if isinstance(train, list) and isinstance(val, list):
         assert len(train) == len(val)
-    if not val:
+
+    def warn_missing_train():
+        # the reference verifies only val (general.py:141-152) — standalone
+        # val must work with no train data on disk — but a train-path typo
+        # should not surface as a late "no images found" deep inside the
+        # dataset: warn here, where the dataset CONFIG is being checked
+        # (after any download stanza has had its chance to create the dirs)
+        if train:
+            bad = [str(p)
+                   for p in (train if isinstance(train, list) else [train])
+                   if not Path(p).resolve().exists()]
+            if bad:
+                print(f"WARNING: train paths do not exist: {bad}")
         return data
+
+    if not val:
+        return warn_missing_train()
     val_paths = [Path(x).resolve()
                  for x in (val if isinstance(val, list) else [val])]
     missing = [str(x) for x in val_paths if not x.exists()]
     if not missing:
-        return data
+        return warn_missing_train()
     if not (s and autodownload):
         raise FileNotFoundError(f"Dataset not found, nonexistent paths: {missing}")
     if (s.startswith(("http://", "https://", "file://"))
@@ -280,4 +295,4 @@ def check_dataset(data: dict, autodownload: bool = True) -> dict:
     still = [str(x) for x in val_paths if not x.exists()]
     if still:
         raise FileNotFoundError(f"dataset download did not produce: {still}")
-    return data
+    return warn_missing_train()

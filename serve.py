@@ -51,7 +51,9 @@ def main(argv=None):
     inference = CerberusDetInference(
         weights=opt.weights, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         iou_thres_between_tasks=opt.iou_thres_between_tasks,
-        img_size=opt.imgsz, half=opt.bf16, max_det=opt.max_det, int8=opt.int8)
+        img_size=opt.imgsz, half=opt.bf16, max_det=opt.max_det, int8=opt.int8,
+        # every served batch pads to max_batch — warm THAT shape, not b1
+        warmup_batch=opt.max_batch)
     pre = CerberusPreprocessor(img_size=opt.imgsz, stride=32)
     engine = BatchingEngine(inference, pre, max_batch=opt.max_batch,
                             max_wait_ms=opt.max_wait_ms)

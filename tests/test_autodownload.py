@@ -145,3 +145,22 @@ def test_parse_data_config_check_flag(tmp_path):
     # without check, the path prefix is still applied (config semantics)
     d2 = parse_data_config(str(y))
     assert d2["val"] == [str(tmp_path / "images" / "val")]
+
+
+def test_check_dataset_warns_on_missing_train(tmp_path, capsys):
+    """val-only data on disk stays valid (reference checks only val,
+    general.py:141-152) but a train-path typo is surfaced HERE as a
+    warning instead of a late 'no images found' inside the dataset."""
+    from cerberusdet_tpu.utils.checks import check_dataset
+
+    val_dir = tmp_path / "images" / "val"
+    val_dir.mkdir(parents=True)
+    data = {"train": [str(tmp_path / "images" / "trian")],  # typo
+            "val": [str(val_dir)], "nc": [1]}
+    out = check_dataset(dict(data))
+    assert "WARNING" in capsys.readouterr().out
+    assert out["val"] == data["val"]  # still returns the config
+
+    data_ok = {"train": [str(val_dir)], "val": [str(val_dir)], "nc": [1]}
+    check_dataset(dict(data_ok))
+    assert "WARNING" not in capsys.readouterr().out

@@ -307,3 +307,40 @@ def test_packed_disk_cache_equivalence_and_reuse(tmp_path):
     DetectionDataset(path, imgsz=96, augment=False, task="pk",
                      cache_images="disk")
     assert (tmp_path / "labels" / "train" / "pk.pack96.npy").exists()
+
+
+def test_packed_dataset_pickles_without_pixel_payload(tmp_path):
+    """Shipping the dataset to a worker process must not serialize the
+    packed memmap's pixels (pickling an np.memmap ships the FULL payload);
+    the unpickled copy lazily re-opens the pack and reads identical data."""
+    import pickle
+
+    import cv2
+    import numpy as np
+
+    from cerberusdet_tpu.data.dataset import DetectionDataset
+
+    rng = np.random.default_rng(1)
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "labels" / "train").mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(tmp_path / "images" / "train" / f"{i}.jpg"),
+                    rng.integers(0, 255, (100, 100, 3), np.uint8))
+        (tmp_path / "labels" / "train" / f"{i}.txt").write_text(
+            "0 0.5 0.5 0.4 0.4")
+    ds = DetectionDataset(str(tmp_path / "images" / "train"), imgsz=256,
+                          augment=False, task="pp", cache_images="disk")
+    pack_bytes = ds._pack[0].nbytes  # 4 * 256*256*3 ≈ 786 KB
+    blob = pickle.dumps(ds)
+    assert len(blob) < pack_bytes // 4, (
+        f"pickle is {len(blob)} bytes — the pack pixels leaked into it")
+    ds2 = pickle.loads(blob)
+    assert ds2._pack[0] is None  # stripped...
+    im2, hw0_2, hw_2 = ds2.load_image(0)  # ...and lazily re-opened
+    im1, hw0_1, hw_1 = ds.load_image(0)
+    np.testing.assert_array_equal(np.asarray(im1), np.asarray(im2))
+    assert hw0_1 == hw0_2 and hw_1 == hw_2
+    # the RAM cache is disabled (not just emptied) in the copy
+    dsr = DetectionDataset(str(tmp_path / "images" / "train"), imgsz=64,
+                           augment=False, task="pp", cache_images="ram")
+    assert pickle.loads(pickle.dumps(dsr))._im_cache is None

@@ -117,3 +117,21 @@ def test_preprocess_routing():
         im = [rng.integers(0, 255, (h, 64, 3), dtype=np.uint8)]
         pre_cap.preprocess(im)
     assert len(pre_cap._device_fns) == 4  # MAX_DEVICE_SHAPES
+
+
+def test_warmup_batch_compiles_served_shape():
+    """A caller with a known serving batch (serve.py pads every batch to
+    max_batch) warms THAT shape in the constructor: exactly one compiled
+    program, and predicting at that batch adds no new compilation."""
+    model = CerberusModel("configs/models/yolov8n_2task.yaml",
+                         ["t1", "t2"], [2, 3])
+    params = model.init(jax.random.PRNGKey(0))
+    inf = CerberusDetInference(
+        model=model, params=params,
+        names={"t1": ["a", "b"], "t2": ["x", "y", "z"]},
+        conf_thres=0.01, img_size=64, half=False, warmup_batch=3)
+    assert inf._device_predict._cache_size() == 1
+    batch = np.random.default_rng(0).uniform(
+        0, 1, (3, 64, 64, 3)).astype(np.float32)
+    inf.predict(batch)
+    assert inf._device_predict._cache_size() == 1

@@ -107,3 +107,30 @@ def test_http_bad_body(server):
         raised = True
         assert e.code == 400
     assert raised
+
+
+def test_http_oversize_and_bad_content_length(server, monkeypatch):
+    import http.client
+    import urllib.parse
+
+    import cerberusdet_tpu.serve.server as srv_mod
+
+    host = urllib.parse.urlparse(server).netloc
+    # oversize: a Content-Length above the cap is rejected with 413 before
+    # the body is buffered
+    monkeypatch.setattr(srv_mod, "MAX_BODY_BYTES", 16)
+    conn = http.client.HTTPConnection(host, timeout=30)
+    conn.request("POST", "/predict", body=b"x" * 64)
+    resp = conn.getresponse()
+    assert resp.status == 413
+    assert "error" in json.loads(resp.read())
+    conn.close()
+
+    # non-numeric Content-Length: 400, not a dropped connection
+    conn = http.client.HTTPConnection(host, timeout=30)
+    conn.putrequest("POST", "/predict")
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
