@@ -195,12 +195,17 @@ def download(url, dir=".", unzip: bool = True, delete: bool = True,
     """
     import shutil
     import tarfile
+    import threading
     import urllib.request
     import zipfile
     from concurrent.futures import ThreadPoolExecutor
 
     dir = Path(dir)
     dir.mkdir(parents=True, exist_ok=True)
+    # zipfile._extract_member races on os.makedirs (exists-check then create)
+    # when two threads extract archives sharing a directory tree — serialize
+    # extraction; the downloads themselves still overlap.
+    extract_lock = threading.Lock()
 
     def download_one(u: str) -> None:
         f = dir / Path(urllib.parse.urlparse(u).path or u).name
@@ -208,12 +213,13 @@ def download(url, dir=".", unzip: bool = True, delete: bool = True,
             with urllib.request.urlopen(u) as r, open(f, "wb") as out:
                 shutil.copyfileobj(r, out)
         if unzip and f.suffix in (".zip", ".gz"):
-            if f.suffix == ".zip":
-                with zipfile.ZipFile(f) as z:
-                    z.extractall(dir)
-            else:
-                with tarfile.open(f, "r:gz") as t:
-                    t.extractall(f.parent)
+            with extract_lock:
+                if f.suffix == ".zip":
+                    with zipfile.ZipFile(f) as z:
+                        z.extractall(dir)
+                else:
+                    with tarfile.open(f, "r:gz") as t:
+                        t.extractall(f.parent)
             if delete:
                 f.unlink()
 
