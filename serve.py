@@ -31,6 +31,10 @@ def parse_opt(argv=None):
                         "batches are padded to it")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="batch-fill wait after the first request arrives")
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel serving over every local chip: params "
+                        "replicate, each served batch shards over the mesh "
+                        "(max-batch must divide by the device count)")
     p.add_argument("--platform", default="", choices=["", "cpu", "tpu"])
     p.add_argument("--compile-cache", default="", metavar="DIR",
                    help="persistent XLA compile cache dir; restarts of the "
@@ -48,10 +52,23 @@ def main(argv=None):
     from cerberusdet_tpu.infer import CerberusDetInference, CerberusPreprocessor
     from cerberusdet_tpu.serve import BatchingEngine, make_server
 
+    mesh = None
+    if opt.mesh:
+        import jax
+        from cerberusdet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if opt.max_batch % mesh.devices.size:
+            raise SystemExit(
+                f"--max-batch {opt.max_batch} must divide by the "
+                f"{mesh.devices.size}-device mesh")
+        print(f"serving over a {mesh.devices.size}-chip data mesh "
+              f"({jax.devices()[0].platform})")
     inference = CerberusDetInference(
         weights=opt.weights, conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
         iou_thres_between_tasks=opt.iou_thres_between_tasks,
         img_size=opt.imgsz, half=opt.bf16, max_det=opt.max_det, int8=opt.int8,
+        mesh=mesh,
         # every served batch pads to max_batch — warm THAT shape, not b1
         warmup_batch=opt.max_batch)
     pre = CerberusPreprocessor(img_size=opt.imgsz, stride=32)
