@@ -109,6 +109,51 @@ def test_http_bad_body(server):
     assert raised
 
 
+@pytest.mark.slow
+def test_engine_over_mesh_matches_single_device():
+    """serve.py --mesh path: a BatchingEngine whose inference is sharded over
+    the 8-device mesh resolves the same detections as the unmeshed engine
+    (padded partial batches shard over the data axis)."""
+    from cerberusdet_tpu.parallel.mesh import make_mesh
+
+    model = CerberusModel("configs/models/yolov8n_2task.yaml", ["t1", "t2"], [2, 3])
+    params = model.init(jax.random.PRNGKey(0))
+    common = dict(model=model, params=params,
+                  names={"t1": ["a", "b"], "t2": ["x", "y", "z"]},
+                  conf_thres=0.01, img_size=64, half=False)
+    pre = CerberusPreprocessor(img_size=64)
+    single = BatchingEngine(CerberusDetInference(**common), pre,
+                            max_batch=8, max_wait_ms=30.0)
+    meshed = BatchingEngine(CerberusDetInference(**common, mesh=make_mesh()),
+                            pre, max_batch=8, max_wait_ms=30.0)
+    imgs = [np.random.default_rng(i).integers(0, 255, (60, 90, 3), np.uint8)
+            for i in range(3)]
+    try:
+        a = [f.result(timeout=300) for f in [single.submit(im) for im in imgs]]
+        b = [f.result(timeout=300) for f in [meshed.submit(im) for im in imgs]]
+    finally:
+        single.stop()
+        meshed.stop()
+    assert len(a) == len(b) == 3
+    for da, db in zip(a, b):
+        assert len(da) == len(db)
+        for ra, rb in zip(da, db):
+            assert ra["task"] == rb["task"] and ra["label"] == rb["label"]
+            np.testing.assert_allclose(ra["score"], rb["score"], rtol=1e-6)
+            np.testing.assert_allclose(ra["box"], rb["box"], rtol=1e-5,
+                                       atol=1e-3)
+
+
+def test_serve_cli_mesh_divisibility_guard():
+    """--mesh with a max-batch that doesn't divide the device count exits
+    with a clear error before any model is built."""
+    import serve
+
+    with pytest.raises(SystemExit, match="must divide"):
+        serve.main(["--weights", "nonexistent.ckpt.npz", "--mesh",
+                    "--max-batch", "3"])
+
+
 def test_http_oversize_and_bad_content_length(server, monkeypatch):
     import http.client
     import urllib.parse
