@@ -170,7 +170,14 @@ class RunManager:
 
     def save_model(self, state, epoch: int, is_best: bool):
         """last.ckpt every call; best.ckpt on new best mean fitness
-        (base_trainer.py:155-169)."""
+        (base_trainer.py:155-169).
+
+        last.ckpt is the RESUME artifact and keeps full fp32 params/EMA so a
+        resumed run continues bit-exactly where the interrupted one left off
+        (the reference's fp16 `last.pt` — models_manager.py:296-308 — loses
+        13 mantissa bits of every weight on every resume). best/task-best
+        ckpts are serving artifacts and stay fp16, matching the reference's
+        on-disk format."""
         if self.nosave:
             return
         meta = self.ckpt_meta(epoch, state.n_updates)
@@ -179,7 +186,8 @@ class RunManager:
         params = jax.device_get(state.params)
         ema = jax.device_get(state.ema_params)
         opt = jax.device_get(state.opt_state.momentum_buf)
-        save_checkpoint(self.wdir / "last.ckpt.npz", params, meta, ema, opt)
+        save_checkpoint(self.wdir / "last.ckpt.npz", params, meta, ema, opt,
+                        half=False)
         if is_best:
             save_checkpoint(self.wdir / "best.ckpt.npz", params, meta, ema, opt)
 

@@ -95,6 +95,52 @@ def test_end_to_end_train_and_resume(tmp_path, two_task_data):
 
 
 @pytest.mark.slow
+def test_resume_device_augment_matches_uninterrupted(tmp_path, two_task_data):
+    """Resume under --augment-device reproduces the uninterrupted run: the
+    per-(seed, epoch, index) RNG plans restart at the right epoch after the
+    resident pack re-uploads, so a 2-epoch run resumed to 3 ends with the
+    SAME final weights as a straight 3-epoch run (same seed)."""
+    import jax.tree_util as jtu
+
+    from cerberusdet_tpu.manager.checkpoint import load_checkpoint
+
+    hyp = _hyp(mosaic=1.0, translate=0.1, scale=0.2, fliplr=0.5)
+    # interruption = same 3-epoch options (identical LR schedule), stopped
+    # after epoch 1 BEFORE train() completes — a completed run's last.ckpt
+    # is stripped (EMA promoted, optimizer dropped) and not exactly resumable
+    common = dict(augment_device=True, cache_images="disk", epochs=3)
+
+    full = TrainLoop(_opt(tmp_path, name="full", **common),
+                     two_task_data, hyp)
+    for e in range(3):
+        full.train_epoch(e)
+    full.manager.save_model(full.state, 2, is_best=False)
+    a = load_checkpoint(full.manager.save_dir / "weights" / "last.ckpt.npz")
+
+    part = TrainLoop(_opt(tmp_path, name="part", **common),
+                     two_task_data, hyp)
+    for e in (0, 1):
+        part.train_epoch(e)
+    part.manager.save_model(part.state, 1, is_best=False)
+    resumed = TrainLoop(
+        _opt(tmp_path, name="resumed",
+             resume=str(part.manager.save_dir / "weights" / "last.ckpt.npz"),
+             **common),
+        two_task_data, hyp)
+    assert resumed.start_epoch == 2
+    resumed.train_epoch(2)
+    resumed.manager.save_model(resumed.state, 2, is_best=False)
+    b = load_checkpoint(resumed.manager.save_dir / "weights" / "last.ckpt.npz")
+
+    for group in ("params", "ema", "opt"):
+        la = jtu.tree_leaves(a[group])
+        lb = jtu.tree_leaves(b[group])
+        assert len(la) == len(lb) and len(la) > 0
+        for xa, xb in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+@pytest.mark.slow
 def test_freeze_and_skip_batches_options(tmp_path, two_task_data):
     loop = TrainLoop(
         _opt(tmp_path, epochs=1, freeze_shared_till_epoch=1, skip_batches=True,
