@@ -83,7 +83,7 @@ def build_perspective_matrix(
     shear: float = 10,
     perspective: float = 0.0,
     border: Tuple[int, int] = (0, 0),
-    scaleup: bool = True,
+    scaleup: float = 0.0,
     rng=random,
 ):
     """Draw the random warp parameters and compose the 3x3 matrix M.
@@ -91,6 +91,13 @@ def build_perspective_matrix(
     Split out of `random_perspective` so the device-augmentation planner
     (data/device_augment.py) can consume the IDENTICAL rng stream and get
     the identical matrix without touching any pixels.
+
+    `scaleup` is a FLOAT hyp with the reference's exact branch structure
+    (augmentations.py:122-133): scaleup==0 -> s ~ U(1-scale, 1+scale)
+    (symmetric, one draw); scaleup>0 -> an extra coin flip, 50% the same
+    symmetric draw, 50% s ~ U(1.09, 1+scaleup). The draw COUNT differs by
+    branch — both the host path and the device planner call this function,
+    so their rng streams stay in lockstep.
 
     im_shape: (h, w) of the input canvas. Returns (M, s, width, height)
     where (width, height) is the output size and s the drawn scale."""
@@ -108,8 +115,12 @@ def build_perspective_matrix(
     # Rotation and Scale
     R = np.eye(3)
     a = rng.uniform(-degrees, degrees)
-    max_s = 1 + scale if scaleup else 1.0
-    s = rng.uniform(1 - scale, max_s)
+    if not scaleup:
+        s = rng.uniform(1 - scale, 1 + scale)
+    elif rng.random() < 0.5:
+        s = rng.uniform(1 - scale, 1 + scale)
+    else:
+        s = rng.uniform(1.09, 1 + scaleup)
     R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
     # Shear
     S = np.eye(3)
@@ -155,7 +166,7 @@ def random_perspective(
     shear: float = 10,
     perspective: float = 0.0,
     border: Tuple[int, int] = (0, 0),
-    scaleup: bool = True,
+    scaleup: float = 0.0,
     rng=random,
 ):
     """Random affine/perspective warp of image + labels.

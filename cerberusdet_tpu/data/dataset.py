@@ -37,7 +37,7 @@ from cerberusdet_tpu.ops.letterbox import letterbox_host
 
 DEFAULT_HYP = dict(
     mosaic=0.0, mixup=0.0, degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
-    perspective=0.0, scaleup=1.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+    perspective=0.0, scaleup=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
     flipud=0.0, fliplr=0.0,
 )
 
@@ -369,7 +369,7 @@ class DetectionDataset:
             degrees=self.hyp["degrees"], translate=self.hyp["translate"],
             scale=self.hyp["scale"], shear=self.hyp["shear"],
             perspective=self.hyp["perspective"], border=self.mosaic_border,
-            scaleup=bool(self.hyp.get("scaleup", 1.0)), rng=rng,
+            scaleup=float(self.hyp.get("scaleup", 0.0)), rng=rng,
         )
         return im4, labels4
 
@@ -410,7 +410,7 @@ class DetectionDataset:
                     degrees=hyp["degrees"], translate=hyp["translate"],
                     scale=hyp["scale"], shear=hyp["shear"],
                     perspective=hyp["perspective"],
-                    scaleup=bool(hyp.get("scaleup", 1.0)), rng=rng,
+                    scaleup=float(hyp.get("scaleup", 0.0)), rng=rng,
                 )
 
         nl = len(labels)

@@ -95,7 +95,7 @@ def _plan_mosaic_warp(ds: DetectionDataset, index: int, rng):
     M, sc, width, height = build_perspective_matrix(
         (2 * s, 2 * s), degrees=hyp["degrees"], translate=hyp["translate"],
         scale=hyp["scale"], shear=hyp["shear"], perspective=hyp["perspective"],
-        border=ds.mosaic_border, scaleup=bool(hyp.get("scaleup", 1.0)), rng=rng)
+        border=ds.mosaic_border, scaleup=float(hyp.get("scaleup", 0.0)), rng=rng)
     labels = warp_targets(labels4, M, sc, width, height, hyp["perspective"])
     regions = np.zeros((4, 4), np.float32)
     offs = np.zeros((4, 2), np.float32)
@@ -126,7 +126,7 @@ def _plan_letterbox_warp(ds: DetectionDataset, index: int, rng):
     M, sc, width, height = build_perspective_matrix(
         (s, s), degrees=hyp["degrees"], translate=hyp["translate"],
         scale=hyp["scale"], shear=hyp["shear"], perspective=hyp["perspective"],
-        border=(0, 0), scaleup=bool(hyp.get("scaleup", 1.0)), rng=rng)
+        border=(0, 0), scaleup=float(hyp.get("scaleup", 0.0)), rng=rng)
     labels = warp_targets(labels, M, sc, width, height, hyp["perspective"])
     # canvas == the source tile; fold the letterbox translation into the
     # inverse warp and fold the (rare) ratio != 1 rescale with cv2's

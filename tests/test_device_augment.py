@@ -25,14 +25,14 @@ from cerberusdet_tpu.data.loaders import create_dataloader
 
 HYP_FULL = dict(
     mosaic=1.0, mixup=0.3, degrees=5.0, translate=0.1, scale=0.3, shear=2.0,
-    perspective=0.0, scaleup=1.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
+    perspective=0.0, scaleup=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
     flipud=0.2, fliplr=0.5,
 )
 # integer-geometry hyp: no rotation/scale/shear -> the warp is an integer
 # translation (translate=0 centers the 2s crop), bilinear weights are exact
 HYP_INT = dict(
     mosaic=1.0, mixup=0.0, degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
-    perspective=0.0, scaleup=1.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+    perspective=0.0, scaleup=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
     flipud=0.0, fliplr=0.0,
 )
 
