@@ -155,7 +155,15 @@ def cross_task_suppress(dets, task_idx, iou_thres: float = 0.8,
 
     Vectorized equivalent of the reference's sequential scan
     (general.py:535-554): processing rows in order, a not-yet-deleted row
-    deletes every member of its overlap group except the highest-scoring one.
+    forms a group from its overlapping columns (ALREADY-DELETED columns
+    included — a reference quirk this reproduces: a deleted box can still
+    win a later group and knock out its members) and deletes every member
+    except the highest-scoring one. Tie-breaks follow torch.argmax over the
+    reference's [cols..., row] group order: columns beat the row on equal
+    conf, lower-index columns beat higher. Exactness is pinned by a 500-case
+    randomized differential test against a verbatim port of the reference
+    loop (tests/test_nms.py). Callers must pass a task-major layout (rows
+    sorted by task), matching the reference's per-task concatenation.
 
     Args:
       dets: (M, 6) rows [x1, y1, x2, y2, conf, cls] (padding rows conf 0).
@@ -179,11 +187,14 @@ def cross_task_suppress(dets, task_idx, iou_thres: float = 0.8,
 
     def body(i, state):
         deleted = state
-        idxs = row_overlap[i] & ~deleted
-        group = idxs.at[i].set(True)
-        any_overlap = jnp.any(idxs) & ~deleted[i]
-        group_scores = jnp.where(group, conf, -1.0)
-        winner = jnp.argmax(group_scores)
+        cols = row_overlap[i]  # deleted columns stay in the group (ref quirk)
+        any_overlap = jnp.any(cols) & ~deleted[i]
+        col_scores = jnp.where(cols, conf, -1.0)
+        cw = jnp.argmax(col_scores)  # lowest-index max among columns
+        # the row wins only on STRICTLY greater conf (cols precede it in the
+        # reference's group ordering, so torch.argmax prefers them on ties)
+        winner = jnp.where(conf[i] > col_scores[cw], i, cw)
+        group = cols.at[i].set(True)
         to_del = group & (jnp.arange(m) != winner)
         return jnp.where(any_overlap, deleted | to_del, deleted)
 

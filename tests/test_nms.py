@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from cerberusdet_tpu.ops.nms import cross_task_suppress, greedy_nms, non_max_suppression
 
@@ -160,3 +161,94 @@ def test_cross_task_suppress_scan_rows_exact():
     bounded = np.asarray(cross_task_suppress(jnp.asarray(dets), task_idx, 0.3,
                                              scan_rows=md))
     np.testing.assert_array_equal(full, bounded)
+
+
+def _iou_np(a, b):
+    """Pairwise IoU of (n,4) and (m,4) xyxy boxes (test-local)."""
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.prod(np.clip(br - tl, 0, None), axis=2)
+    area_a = np.prod(a[:, 2:] - a[:, :2], axis=1)
+    area_b = np.prod(b[:, 2:] - b[:, :2], axis=1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
+
+
+def _reference_cross_task(dets, task_idx, iou_thres):
+    """Verbatim port of the reference nms_between_tasks scan
+    (cerberusdet/utils/general.py:493-554) on an already task-major layout,
+    returning a keep mask over the padded input. Test-only: pins
+    cross_task_suppress differentially, incl. the quirk that already-deleted
+    columns stay in later groups and can win them."""
+    valid = dets[:, 4] > 0
+    idx_map = np.where(valid)[0]  # compact -> global (order preserved)
+    bb = dets[idx_map]
+    t = task_idx[idx_map]
+    n = len(bb)
+    iou_matrix = np.zeros((n, n))
+    if n:
+        full = _iou_np(bb[:, :4], bb[:, :4])
+        upper = t[:, None] < t[None, :]  # only upper task blocks are filled
+        iou_matrix = np.where(upper, full, 0.0)
+    to_delete = set()
+    for row_i in range(n):
+        if row_i in to_delete:
+            continue
+        idxs = list(np.where(iou_matrix[row_i] > iou_thres)[0])
+        if not idxs:
+            continue
+        idxs = idxs + [row_i]
+        scores = bb[idxs][:, 4]
+        winner = int(np.argmax(scores))  # first max, like torch.argmax
+        to_delete.update(int(ix) for k, ix in enumerate(idxs) if k != winner)
+    keep = np.zeros(len(dets), bool)
+    for k in range(n):
+        if k not in to_delete:
+            keep[idx_map[k]] = True
+    return keep
+
+
+@pytest.mark.smoke
+def test_cross_task_suppress_differential_fuzz():
+    """500 random multi-task overlap configurations (clustered boxes to force
+    chained overlaps, occasional exact score ties) must produce keep sets
+    IDENTICAL to the reference's sequential loop (VERDICT r3 item 7)."""
+    rng = np.random.default_rng(0)
+    mismatches = []
+    for case in range(500):
+        T = int(rng.integers(2, 5))
+        per_task = int(rng.integers(2, 9))
+        m = T * per_task
+        n_clusters = int(rng.integers(1, 5))
+        centers = rng.uniform(20, 180, (n_clusters, 2))
+        xy = centers[rng.integers(0, n_clusters, m)] + rng.uniform(-6, 6, (m, 2))
+        wh = rng.uniform(20, 40, (m, 2)) * rng.uniform(0.9, 1.1, (m, 1))
+        conf = rng.uniform(0.1, 1.0, m)
+        if case % 3 == 0:  # force exact ties into some cases
+            conf = np.round(conf, 1) + 0.05
+        dets = np.concatenate(
+            [xy - wh / 2, xy + wh / 2, conf[:, None],
+             rng.integers(0, 3, (m, 1)).astype(np.float64)], axis=1
+        ).astype(np.float32)
+        dets[rng.uniform(size=m) < 0.15, 4] = 0.0  # padding rows
+        task_idx = np.repeat(np.arange(T), per_task).astype(np.int32)
+        iou_thres = float(rng.choice([0.3, 0.5, 0.8]))
+        ref = _reference_cross_task(dets, task_idx, iou_thres)
+        ours = np.asarray(cross_task_suppress(
+            jnp.asarray(dets), jnp.asarray(task_idx), iou_thres))
+        if not np.array_equal(ours, ref):
+            mismatches.append((case, ours.tolist(), ref.tolist()))
+    assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.smoke
+def test_cross_task_suppress_deleted_column_still_wins():
+    """Reference quirk (general.py:540-551): a box deleted by an earlier row
+    stays in later rows' overlap groups and can WIN them — row 1 here is
+    deleted because the already-deleted box 2 outscores it."""
+    dets = jnp.asarray(np.array([
+        [0, 0, 10, 10, 0.5, 0],
+        [1, 1, 11, 11, 0.4, 0],
+        [0, 0, 10, 10, 0.9, 5],
+    ], np.float32))
+    keep = np.asarray(cross_task_suppress(dets, jnp.array([0, 0, 1]), 0.5))
+    assert keep.tolist() == [False, False, True]
