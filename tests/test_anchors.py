@@ -2,6 +2,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from cerberusdet_tpu.ops import bbox2dist, dist2bbox, dfl_expectation, make_anchors
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
 
 
 def test_make_anchors_shapes_and_values():

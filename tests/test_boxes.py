@@ -1,6 +1,8 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from cerberusdet_tpu.ops import (
     bbox_iou,
     box_iou,
@@ -12,6 +14,8 @@ from cerberusdet_tpu.ops import (
     xywhn2xyxy,
     xyxy2xywhn,
 )
+
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
 
 
 def test_xywh_roundtrip():

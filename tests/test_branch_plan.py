@@ -8,12 +8,14 @@ import pytest
 from cerberusdet_tpu.models.cerberus import CerberusModel, build_branch_labels
 
 
+@pytest.mark.smoke
 def test_no_cerber_all_shared():
     labels = build_branch_labels(None, n_neck=12, n_tasks=3)
     for t in range(3):
         assert all(l == () for l in labels[t])
 
 
+@pytest.mark.smoke
 def test_two_task_split_at_2():
     # [[2, [[13], [14]]]] with 12 neck layers: layers 1-2 shared, 3-12 split.
     labels = build_branch_labels([[2, [[13], [14]]]], n_neck=12, n_tasks=2)
@@ -23,6 +25,7 @@ def test_two_task_split_at_2():
         assert labels[0][layer - 1] != labels[1][layer - 1]
 
 
+@pytest.mark.smoke
 def test_readme_nested_example():
     # [[2, [[15], [13, 14]]], [6, [[13], [14]]]] for 3 tasks (heads 13,14,15):
     # task 15 (idx 2) fully separate after layer 2; tasks 13,14 share 3-6 then split.
@@ -38,6 +41,7 @@ def test_readme_nested_example():
         assert len({t13[layer - 1], t14[layer - 1], t15[layer - 1]}) == 3
 
 
+@pytest.mark.smoke
 def test_unmentioned_task_stays_on_trunk():
     # a split mentioning only tasks 0 and 1 leaves task 2 with the original blocks
     cerber = [[6, [[13], [14]]]]
@@ -48,6 +52,7 @@ def test_unmentioned_task_stays_on_trunk():
         assert labels[0][layer - 1] != labels[1][layer - 1]
 
 
+@pytest.mark.smoke
 def test_invalid_head_id_raises():
     with pytest.raises(ValueError):
         build_branch_labels([[2, [[99], [14]]]], n_neck=12, n_tasks=2)
@@ -58,6 +63,7 @@ def tiny_model():
     return CerberusModel("configs/models/yolov8n.yaml", ["a", "b"], [3, 5])
 
 
+@pytest.mark.smoke
 def test_plan_dedups_shared_blocks(tiny_model):
     m = tiny_model
     steps = m.plan()
@@ -68,6 +74,7 @@ def test_plan_dedups_shared_blocks(tiny_model):
     assert sum(u.startswith("n") for u in uids) == m.n_neck
 
 
+@pytest.mark.smoke
 def test_single_task_plan_subset(tiny_model):
     full = {s.uid for s in tiny_model.plan()}
     sub = {s.uid for s in tiny_model.plan(["a"])}
@@ -75,6 +82,7 @@ def test_single_task_plan_subset(tiny_model):
     assert "head_b" not in sub and "head_a" in sub
 
 
+@pytest.mark.smoke
 def test_serving_counts_2task_split():
     m = CerberusModel("configs/models/yolov8x_2task.yaml", ["voc", "animals"], [20, 19])
     # backbone + neck layers 1,2 (yolo 10,11) serve both tasks
@@ -94,6 +102,7 @@ def test_param_count_matches_reference_2task():
     assert 104e6 < n < 107e6, n
 
 
+@pytest.mark.smoke
 def test_grad_scale_tree(tiny_model):
     params = tiny_model.init(jax.random.PRNGKey(0))
     scales = tiny_model.grad_scale_tree(params)

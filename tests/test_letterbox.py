@@ -1,6 +1,9 @@
 import numpy as np
 
 from cerberusdet_tpu.ops.letterbox import letterbox_device, letterbox_host, letterbox_params
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
 
 
 def test_params_square_to_square():

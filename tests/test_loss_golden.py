@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
+
 
 @pytest.mark.slow
 def test_loss_matches_reference():

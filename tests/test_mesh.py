@@ -103,6 +103,7 @@ def test_padded_step_equals_unpadded(setup):
                                        atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_mesh_inference_matches(setup):
     from cerberusdet_tpu.nn.module import Ctx
 

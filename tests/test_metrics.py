@@ -12,6 +12,8 @@ from cerberusdet_tpu.evaluation.metrics import (
     process_batch,
 )
 
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
+
 
 def test_fitness_weights():
     out = fitness(np.array([[0.5, 0.6, 0.8, 0.4]]))

@@ -4,6 +4,8 @@ import pytest
 
 from cerberusdet_tpu.ops.nms import cross_task_suppress, greedy_nms, non_max_suppression
 
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
+
 
 def _pred(boxes_xywh, scores):
     """Build a (1, N, 4+nc) prediction array."""

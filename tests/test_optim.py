@@ -7,6 +7,8 @@ import torch
 
 from cerberusdet_tpu.train.optim import SGDConfig, sgd_init, sgd_update
 
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
+
 
 def _toy_params():
     rng = np.random.default_rng(0)

@@ -6,6 +6,8 @@ import pytest
 from cerberusdet_tpu.train.loss import DetectionLoss, _df_loss
 from cerberusdet_tpu.train.tal import TaskAlignedAssigner
 
+pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
+
 
 def _synthetic(B=2, N=84, M=4, NC=5, seed=0):
     rng = np.random.default_rng(seed)

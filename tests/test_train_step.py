@@ -40,6 +40,7 @@ def _batch(B=2, M=4, nc=2, seed=0):
     }
 
 
+@pytest.mark.smoke
 def test_train_step_runs_and_loss_decreases(setup):
     """Losses transiently rise while momentum/BN stats warm up, then descend;
     assert a clear descent from the peak on a fixed batch."""
