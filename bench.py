@@ -57,7 +57,7 @@ def main():
         calib = jax.random.uniform(jax.random.PRNGKey(2), (4, 640, 640, 3),
                                    jnp.float32)
         amax = calibrate_amax(model, params, [calib])
-        params = quantize_params(params, amax, select=select_all)
+        params = quantize_params(params, amax, select=select_all, model=model)
     # bf16 weights for the unquantized convs: halve HBM traffic, MXU-native
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim == 4 else x,

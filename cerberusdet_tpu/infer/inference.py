@@ -122,7 +122,8 @@ class CerberusDetInference:
                                   dtype=self.compute_dtype)
             fused = quantize_params(
                 fused, amax,
-                select=select_all if int8 == "all" else select_deep())
+                select=select_all if int8 == "all" else select_deep(),
+                model=model)
         self.mesh = mesh
         if mesh is not None:
             from cerberusdet_tpu.parallel.mesh import replicate

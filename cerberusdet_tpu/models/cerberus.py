@@ -213,7 +213,18 @@ class CerberusModel:
                 inp = outputs[step.in_uids[0]]
             # .get: parameterless blocks (Upsample/Concat) may be absent from
             # trees that round-tripped through a flattened checkpoint
-            outputs[step.uid] = node.layer(params.get(step.uid, {}), inp, ctx, (step.uid,))
+            p = params.get(step.uid, {})
+            out = node.layer(p, inp, ctx, (step.uid,))
+            if isinstance(p, dict) and "__q_out__" in p:
+                # int8 PTQ annotation (quant/ptq.py:propagate_act_quant):
+                # every consumer of this tensor quantizes with the same
+                # scale, so quantize ONCE here — XLA fuses it into the
+                # block's last conv epilogue and the tensor lives in HBM
+                # as int8 (half the bytes of bf16)
+                from cerberusdet_tpu.nn.module import quantize_act
+
+                out = quantize_act(out, p["__q_out__"])
+            outputs[step.uid] = out
         return results
 
     # ------------------------------------------------------- param utilities

@@ -24,6 +24,7 @@ from cerberusdet_tpu.nn.module import (
     init_bn,
     init_conv_w,
     kaiming_uniform,
+    quantize_act,
     silu,
     split_rng,
 )
@@ -53,7 +54,7 @@ class Conv(Layer):
         return {"w": init_conv_w(rng, self.k, self.c1, self.c2, self.g), "bn": init_bn(self.c2)}
 
     def __call__(self, p, x, ctx, path=()):
-        if ctx.taps is not None:
+        if ctx.taps is not None and x.dtype != jnp.int8:
             # PTQ calibration: record the input's absmax (quant/ptq.py)
             ctx.taps[path] = jnp.max(jnp.abs(x.astype(jnp.float32)))
         if "w_q" in p:
@@ -169,6 +170,12 @@ class C2f(Layer):
         ys = [y[..., : self.c], y[..., self.c :]]
         for i, b in enumerate(self.m):
             ys.append(b(p["m"][str(i)], ys[-1], ctx, path + ("m", str(i))))
+        if "w_q" in p["cv2"]:
+            # int8: quantize each chunk to cv2's scale BEFORE the concat —
+            # bitwise-identical to quantizing after (quantize_act commutes
+            # with concat), fuses into each producer's epilogue, and the
+            # concat moves int8 bytes instead of bf16
+            ys = [quantize_act(t, p["cv2"]["s_x"]) for t in ys]
         return self.cv2(p["cv2"], jnp.concatenate(ys, axis=-1), ctx, path + ("cv2",))
 
 
@@ -190,6 +197,8 @@ class C2(Layer):
         y = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
         a, b = y[..., : self.c], y[..., self.c :]
         a = self.m(p["m"], a, ctx, path + ("m",))
+        if "w_q" in p["cv2"]:
+            a, b = (quantize_act(t, p["cv2"]["s_x"]) for t in (a, b))
         return self.cv2(p["cv2"], jnp.concatenate([a, b], axis=-1), ctx, path + ("cv2",))
 
 
@@ -216,6 +225,8 @@ class C3(Layer):
     def __call__(self, p, x, ctx, path=()):
         a = self.m(p["m"], self.cv1(p["cv1"], x, ctx, path + ("cv1",)), ctx, path + ("m",))
         b = self.cv2(p["cv2"], x, ctx, path + ("cv2",))
+        if "w_q" in p["cv3"]:
+            a, b = (quantize_act(t, p["cv3"]["s_x"]) for t in (a, b))
         return self.cv3(p["cv3"], jnp.concatenate([a, b], axis=-1), ctx, path + ("cv3",))
 
 
@@ -223,7 +234,10 @@ def max_pool(x, k: int, s: int = 1, p: Optional[int] = None):
     p = k // 2 if p is None else p
     # init value must be a Python scalar (a traced/array init breaks
     # reduce_window's linearization under jit)
-    neg = -float("inf") if jnp.issubdtype(x.dtype, jnp.floating) else int(jnp.iinfo(x.dtype).min)
+    # dtype-matched numpy scalar: a bare python int arrives as int32 and
+    # reduce_window rejects the operand/init dtype mismatch for int8 inputs
+    neg = (-float("inf") if jnp.issubdtype(x.dtype, jnp.floating)
+           else x.dtype.type(jnp.iinfo(x.dtype).min))
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, k, k, 1),
@@ -248,6 +262,9 @@ class SPP(Layer):
 
     def __call__(self, p, x, ctx, path=()):
         x = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+        if "w_q" in p["cv2"]:
+            # max commutes with the monotone quantize: pool in int8
+            x = quantize_act(x, p["cv2"]["s_x"])
         ys = [x] + [max_pool(x, k) for k in self.k]
         return self.cv2(p["cv2"], jnp.concatenate(ys, axis=-1), ctx, path + ("cv2",))
 
@@ -268,6 +285,10 @@ class SPPF(Layer):
 
     def __call__(self, p, x, ctx, path=()):
         x = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+        if "w_q" in p["cv2"]:
+            # max commutes with the monotone quantize: the 3 chained pools
+            # and the concat all run on int8 (half the bytes), bitwise equal
+            x = quantize_act(x, p["cv2"]["s_x"])
         y1 = max_pool(x, self.k)
         y2 = max_pool(y1, self.k)
         y3 = max_pool(y2, self.k)
@@ -322,6 +343,12 @@ class Concat(Layer):
         return {}
 
     def __call__(self, p, xs, ctx, path=()):
+        if "q_in" in p:
+            # annotated by quant/ptq.py:propagate_act_quant — the (single)
+            # consumer's first conv is int8 with scale q_in: quantize every
+            # input chunk up front so the quantize fuses into each producer
+            # and the concat moves int8 bytes (bitwise equal either way)
+            xs = [quantize_act(x, p["q_in"]) for x in xs]
         return jnp.concatenate(xs, axis=self.axis)
 
 
@@ -337,6 +364,11 @@ class Upsample(Layer):
         return {}
 
     def __call__(self, p, x, ctx, path=()):
+        if "q_in" in p:
+            # quantize BEFORE replicating: nearest upsample copies values, so
+            # this is bitwise equal, runs the quantize on the small tensor,
+            # and replicates int8 bytes (propagate_act_quant annotation)
+            x = quantize_act(x, p["q_in"])
         return jnp.repeat(jnp.repeat(x, self.f, axis=1), self.f, axis=2)
 
 

@@ -159,12 +159,30 @@ def conv2d(x, w, stride=1, padding=None, groups: int = 1,
     return y
 
 
+def quantize_act(x, s_x):
+    """Per-tensor symmetric int8 activation quantization. Passes int8 input
+    through untouched (the caller guarantees it was quantized with the same
+    scale — see quant/ptq.py:propagate_act_quant).
+
+    round/clip are monotone elementwise, so this commutes EXACTLY with
+    concat/split/nearest-upsample/max-pool: pre-quantizing the inputs of
+    those data-movement ops is bitwise-identical to quantizing their output,
+    but lets XLA fuse the quantize into each producer conv's epilogue and
+    halves the bytes the data movement touches."""
+    if x.dtype == jnp.int8:
+        return x
+    inv_sx = 1.0 / s_x
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv_sx),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
 def conv2d_int8(x, p: Params, stride=1, padding=None, groups: int = 1,
                 dilation: int = 1):
     """Quantized inference conv (PTQ layout from quant/ptq.py): activations
-    are quantized per-tensor symmetric to int8 on the fly, weights are
-    pre-quantized per-output-channel, the MXU accumulates in int32 (2x the
-    bf16 peak on TPU), and the result is dequantized into the fused bias add.
+    are quantized per-tensor symmetric to int8 on the fly (or consumed
+    pre-quantized — see quantize_act), weights are pre-quantized
+    per-output-channel, the MXU accumulates in int32 (2x the bf16 peak on
+    TPU), and the result is dequantized into the fused bias add.
 
     p: {"w_q" int8 HWIO, "s_w" (c2,) f32, "s_x" scalar f32, "b" (c2,) f32}.
     """
@@ -173,10 +191,8 @@ def conv2d_int8(x, p: Params, stride=1, padding=None, groups: int = 1,
     pad = autopad((kh, kw), padding, dilation)
     ph, pw = (pad, pad) if isinstance(pad, int) else pad
     sh, sw = (stride, stride) if isinstance(stride, int) else stride
-    inv_sx = 1.0 / p["s_x"]
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv_sx), -127.0, 127.0)
     y = jax.lax.conv_general_dilated(
-        x_q.astype(jnp.int8),
+        quantize_act(x, p["s_x"]),
         w_q,
         window_strides=(sh, sw),
         padding=[(ph, ph), (pw, pw)],

@@ -82,9 +82,10 @@ def main():
     variants = {
         "bf16": bf16_weights(fused),
         f"int8_deep(cin>={args.min_cin})": bf16_weights(
-            quantize_params(fused, amax, select=select_deep(args.min_cin))),
+            quantize_params(fused, amax, select=select_deep(args.min_cin),
+                            model=model)),
         "int8_all": bf16_weights(
-            quantize_params(fused, amax, select=select_all)),
+            quantize_params(fused, amax, select=select_all, model=model)),
     }
     results = {}
     for name, p in variants.items():

@@ -55,7 +55,7 @@ def main(argv=None):
             cal = [np.random.default_rng(0).uniform(
                 0, 1, (2, args.imgsz, args.imgsz, 3)).astype(np.float32)]
             amax = calibrate_amax(model, params, cal)
-            params = quantize_params(params, amax, select=sel)
+            params = quantize_params(params, amax, select=sel, model=model)
 
         @jax.jit
         def fn(params, img):

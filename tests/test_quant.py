@@ -110,3 +110,55 @@ def test_inference_api_int8_smoke():
     batch = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
     res = inf.predict(batch, original_shape=(64, 64))
     assert isinstance(res, list) and isinstance(res[0], list)
+
+
+@pytest.mark.smoke
+def test_act_quant_propagation_bitwise_and_annotated():
+    """propagate_act_quant only moves WHERE quantization happens (into
+    producers, across concat/upsample/maxpool — all commute exactly): the
+    full 2-task model's eval outputs must be BITWISE identical with and
+    without the annotations, and the annotations must actually land on
+    neck Concat/Upsample uids."""
+    from cerberusdet_tpu.models.cerberus import CerberusModel
+
+    model = CerberusModel("configs/models/yolov8n_2task.yaml",
+                          ["a", "b"], [3, 5])
+    fused = model.fuse(model.init(jax.random.PRNGKey(0)))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3),
+                             jnp.float32)
+    amax = calibrate_amax(model, fused, [img], dtype=jnp.float32)
+    q_plain = quantize_params(fused, amax, select=select_all)
+    q_prop = quantize_params(fused, amax, select=select_all, model=model)
+
+    q_in = [uid for uid, sub in q_prop.items()
+            if isinstance(sub, dict) and "q_in" in sub]
+    q_out = [uid for uid, sub in q_prop.items()
+             if isinstance(sub, dict) and "__q_out__" in sub]
+    assert q_in, "no Concat/Upsample q_in annotations were produced"
+    assert q_out, "no producer __q_out__ annotations were produced"
+    # int8-all on the standard v8 graph: the neck outputs feeding the heads
+    # must carry producer-side quantization (identical tower-entry scales)
+    assert any(u.startswith("n") for u in q_out), q_out
+
+    def run(p):
+        out = model(p, img, Ctx(train=False, dtype=jnp.float32))
+        return {t: np.asarray(pred) for t, (pred, _f) in out.items()}
+
+    a, b = run(q_plain), run(q_prop)
+    for t in a:
+        np.testing.assert_array_equal(a[t], b[t])
+
+
+@pytest.mark.smoke
+def test_int8_maxpool_commutes_with_quantize():
+    """max_pool(int8) must equal quantize(max_pool(bf16-ish)) — the SPPF
+    reorder's correctness condition (round/clip are monotone)."""
+    from cerberusdet_tpu.nn.layers import max_pool
+    from cerberusdet_tpu.nn.module import quantize_act
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-4, 4, (2, 16, 16, 8)).astype(np.float32))
+    s = jnp.float32(4.0 / 127.0)
+    a = np.asarray(max_pool(quantize_act(x, s), 5))
+    b = np.asarray(quantize_act(max_pool(x, 5), s))
+    np.testing.assert_array_equal(a, b)

@@ -135,7 +135,7 @@ def quantize_for_eval(model, params, data_dict, opt, n_calib_batches: int = 2):
     dtype = jnp.bfloat16 if opt.bf16 else jnp.float32
     amax = calibrate_amax(model, params, batches, dtype=dtype)
     select = select_all if opt.int8 == "all" else select_deep()
-    return quantize_params(params, amax, select=select)
+    return quantize_params(params, amax, select=select, model=model)
 
 
 def main(argv=None):
