@@ -70,6 +70,8 @@ class SamplePlan:
     regions: np.ndarray    # (2, 4, 4) f32 canvas rects [x1, y1, x2, y2)
     offs: np.ndarray       # (2, 4, 2) f32 canvas->tile offsets (padw, padh)
     minv: np.ndarray       # (2, 3, 3) f32 output->canvas inverse warps
+    minv0: np.ndarray      # (2, 3, 3) f32 axis-aligned part of minv = D.Shx.Shy
+    shear: np.ndarray      # (2, 2) f32 (hx, hy) shear coefficients per warp
     mix_r: float           # mixup blend weight (1.0 = no mixup)
     hsv_mult: np.ndarray   # (3,) f32 h/s/v gain multipliers
     hsv_on: bool
@@ -79,6 +81,51 @@ class SamplePlan:
     fliplr: bool
     labels: np.ndarray     # (n, 6) final [cls, prob, cx, cy, w, h] normalized
     meta: dict = field(default_factory=dict)
+
+
+def _decompose_affine(minv: np.ndarray):
+    """Factor an affine inverse warp minv = M0 @ Shx @ Shy where M0 is
+    AXIS-ALIGNED (diagonal + translation), Shx = [[1,h],[0,1]] and
+    Shy = [[1,0],[g,1]] are unit shears (an LDU factorization of the 2x2
+    spatial block). This lets the device run the general rotating warp as
+    the existing two-matmul axis-aligned resample followed by two bounded
+    per-row / per-column fractional shifts — no gathers anywhere (the XLA
+    TPU gather lowering measured ~70x off speed-of-light, PROFILE.md).
+
+    Returns (minv0 (3,3) f32, shear (2,) f32 = (h, g)). Perspective or
+    degenerate matrices return (minv, zeros) — callers route those to the
+    gather/host path."""
+    a, b = float(minv[0, 0]), float(minv[0, 1])
+    c, d = float(minv[1, 0]), float(minv[1, 1])
+    det = a * d - b * c
+    if (abs(minv[2, 0]) > 1e-12 or abs(minv[2, 1]) > 1e-12
+            or abs(d) < 1e-8 or abs(det) < 1e-10):
+        return minv.astype(np.float32), np.zeros(2, np.float32)
+    g = c / d
+    d1 = det / d
+    h = b / d1
+    m0 = np.array([[d1, 0, minv[0, 2]], [0, d, minv[1, 2]], [0, 0, 1]],
+                  np.float32)
+    return m0, np.array([h, g], np.float32)
+
+
+def required_shear_pad(hyp: dict, imgsz: int) -> int:
+    """Static padding K for the 3-pass affine device warp: a provable bound
+    on the shear-pass shift. For minv = (1/s)R(-theta)Sh^-1 (perspective 0)
+    the decomposed |h|, |g| are scale-free and bounded by
+    (tan|theta|max + tan|alpha|max) / (1 - tan^2), so
+    K = ceil(bound * 1.1 * imgsz) + 2 guarantees |h|*(imgsz+K) <= K-1.
+    Returns 0 for axis-aligned hyps (no shear passes needed)."""
+    import math as _m
+
+    deg = float(hyp.get("degrees", 0.0))
+    sh = float(hyp.get("shear", 0.0))
+    if not (deg or sh):
+        return 0
+    t = _m.tan(_m.radians(min(abs(deg), 44.0))) + _m.tan(
+        _m.radians(min(abs(sh), 44.0)))
+    bound = t / max(1.0 - t * t, 0.5)
+    return int(_m.ceil(bound * 1.1 * imgsz)) + 2
 
 
 def _plan_mosaic_warp(ds: DetectionDataset, index: int, rng):
@@ -207,9 +254,16 @@ def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
     fliplr = rng.random() < hyp["fliplr"]
     if fliplr and nl:
         labels[:, 2] = 1 - labels[:, 2]
-    return SamplePlan(tile_idx, regions, offs, minv, float(mix_r), hsv_mult,
-                      hsv_on, gray, blurred, flipud, fliplr,
-                      labels.astype(np.float32), meta)
+    minv0 = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    shear = np.zeros((2, 2), np.float32)
+    for k in range(2):
+        minv0[k], shear[k] = _decompose_affine(minv[k])
+    return SamplePlan(tile_idx=tile_idx, regions=regions, offs=offs,
+                      minv=minv, minv0=minv0, shear=shear,
+                      mix_r=float(mix_r), hsv_mult=hsv_mult, hsv_on=hsv_on,
+                      gray=gray, blurred=blurred, flipud=flipud,
+                      fliplr=fliplr, labels=labels.astype(np.float32),
+                      meta=meta)
 
 
 # ------------------------------------------------------------------ collate
@@ -250,6 +304,8 @@ def collate_device(ds: DetectionDataset, plans: List[SamplePlan],
         "regions": np.stack([p.regions for p in plans]),
         "offs": np.stack([p.offs for p in plans]),
         "minv": np.stack([p.minv for p in plans]),
+        "minv0": np.stack([p.minv0 for p in plans]),
+        "shear": np.stack([p.shear for p in plans]),
         "mix_r": np.asarray([p.mix_r for p in plans], np.float32),
         "hsv_mult": np.stack([p.hsv_mult for p in plans]),
         "hsv_on": np.asarray([p.hsv_on for p in plans]),
@@ -358,7 +414,7 @@ def _hsv_jitter(g, mult):
     return jnp.round(rgb)
 
 
-def _axis_matrices(minv_row, regions, offs, S_out, S, axis):
+def _axis_matrices(minv_row, regions, offs, S_out, S, axis, origin=0):
     """Build the (4, S_out, S) bilinear sampling matrix for one output axis
     of an AXIS-ALIGNED warp (minv has zero off-diagonal spatial terms).
 
@@ -375,7 +431,11 @@ def _axis_matrices(minv_row, regions, offs, S_out, S, axis):
     import jax.numpy as jnp
     from jax import lax
 
-    y = lax.iota(jnp.float32, S_out)
+    # origin > 0: evaluate on the shifted grid y in [-origin, S_out-origin)
+    # — subtracted from the (integer-exact) iota rather than folded into the
+    # translation, so overlapping coords round bitwise like the unshifted
+    # grid's (the 3-pass affine warp's zero-shear case stays exact)
+    y = lax.iota(jnp.float32, S_out) - float(origin)
     c = minv_row[axis] * y + minv_row[2]
     c0 = jnp.floor(c)
     w1 = c - c0
@@ -394,7 +454,7 @@ def _axis_matrices(minv_row, regions, offs, S_out, S, axis):
     return M
 
 
-def _warp_mm(src, tile_ids, regions, offs, minv, out_hw):
+def _warp_mm(src, tile_ids, regions, offs, minv, out_hw, origin=0):
     """Axis-aligned inverse-warp as MXU matmuls: out = sum_t Y_t @ tile_t
     @ X_t^T + 114*(1 - sum_t ycov_t (x) xcov_t). Bit-compatible with _warp
     for integer translations; same corner/region semantics throughout."""
@@ -402,8 +462,10 @@ def _warp_mm(src, tile_ids, regions, offs, minv, out_hw):
 
     H, W = out_hw
     S = src.shape[1]
-    Y = _axis_matrices(minv[1], regions[:, (1, 3)], offs[:, 1], H, S, axis=1)
-    X = _axis_matrices(minv[0], regions[:, (0, 2)], offs[:, 0], W, S, axis=0)
+    Y = _axis_matrices(minv[1], regions[:, (1, 3)], offs[:, 1], H, S, axis=1,
+                       origin=origin)
+    X = _axis_matrices(minv[0], regions[:, (0, 2)], offs[:, 0], W, S, axis=0,
+                       origin=origin)
     tiles = src[jnp.clip(tile_ids, 0, src.shape[0] - 1)].astype(jnp.float32)
     G = jnp.einsum("tos,tsjc->tojc", Y, tiles)          # contract tile rows
     out = jnp.einsum("tpj,tojc->opc", X, G)             # contract tile cols
@@ -411,8 +473,58 @@ def _warp_mm(src, tile_ids, regions, offs, minv, out_hw):
     return out + PAD * (1.0 - cov)[..., None]
 
 
+def _hat_weights(pos, K):
+    """Bilinear hat weights of continuous positions over the static shift
+    range [0, 2K]: (L,) -> (L, 2K+1)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    d = lax.iota(jnp.float32, 2 * K + 1)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - d))
+
+
+def _warp_affine3(src, tile_ids, regions, offs, minv0, shear, out_hw, K):
+    """General-affine inverse warp as THREE gather-free passes.
+
+    minv = M0 @ Shx @ Shy (see _decompose_affine):
+      pass A: I0 = canvas o M0 on a K-padded grid via the axis-aligned
+              two-matmul resample (_warp_mm with origin=K: the grid shift
+              stays in the integer iota so overlapping coords round
+              bitwise like the unpadded grid);
+      pass B: x-shear — I1[r, x] = I0[r, x + K + h*(r - K)], a per-row
+              fractional shift bounded by K, computed as a static sum of
+              2K+1 column slices weighted by bilinear hats (<= 2 nonzero
+              per row);
+      pass C: y-shear — out[y, x] = I1[y + K + g*x, x], the same with row
+              slices and per-column weights.
+
+    Composes three bilinear resamples where cv2 does one, so general warps
+    match cv2 up to a few intensity levels (tested); h == g == 0 degenerates
+    to exact slices of pass A (bitwise the axis-aligned path). K must
+    satisfy |h|*(H+K) <= K-1 and |g|*W <= K-1 — guaranteed by
+    required_shear_pad's bound."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    H, W = out_hw
+    Hp, Wp = H + 2 * K, W + 2 * K
+    I0 = _warp_mm(src, tile_ids, regions, offs, minv0, (Hp, Wp), origin=K)
+    h, g = shear[0], shear[1]
+    r = lax.iota(jnp.float32, Hp)
+    wB = _hat_weights(K + h * (r - K), K)  # (Hp, 2K+1)
+    I1 = jnp.zeros((Hp, W, I0.shape[-1]), I0.dtype)
+    for d in range(2 * K + 1):
+        I1 = I1 + wB[:, d, None, None] * lax.slice_in_dim(I0, d, d + W, axis=1)
+    x = lax.iota(jnp.float32, W)
+    wC = _hat_weights(K + g * x, K)  # (W, 2K+1)
+    out = jnp.zeros((H, W, I0.shape[-1]), I0.dtype)
+    for d in range(2 * K + 1):
+        out = out + wC[None, :, d, None] * lax.slice_in_dim(I1, d, d + H, axis=0)
+    return out
+
+
 def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
-                    axis_aligned: bool = False):
+                    axis_aligned: bool = False, shear_pad: int = 0):
     """Build the jitted augmentation program.
 
     resident=False: (tiles (B, n_slots, S, S, 3) u8, aug) -> (B, S, S, 3) u8
@@ -425,23 +537,35 @@ def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
         pack fits the budget — data lives where compute is.
     axis_aligned=True: the warps carry no rotation/shear/perspective
         (degrees == shear == perspective == 0 — YOLOv8's defaults and
-        hyp.cerber-default; the tuned voc_obj365 recipe draws tiny
-        rotations and stays on the host path), so the bilinear resample is separable and
+        hyp.cerber-default), so the bilinear resample is separable and
         runs as MXU matmuls (_warp_mm) instead of element gathers.
+    shear_pad=K>0: rotating/shearing hyps with perspective == 0 (e.g. the
+        tuned hyp.cerber-voc_obj365 recipes) run the 3-pass decomposed
+        affine warp (_warp_affine3) — pass A is the same MXU-matmul
+        resample on a K-padded grid, then two bounded gather-free shear
+        passes. Use required_shear_pad(hyp, imgsz) for K.
     """
     import jax
     import jax.numpy as jnp
 
-    warp = _warp_mm if axis_aligned else _warp
+    if shear_pad > 0:
+        def warp(src, tid, reg, off, mv, mv0, sh, hw):
+            return _warp_affine3(src, tid, reg, off, mv0, sh, hw, shear_pad)
+    elif axis_aligned:
+        def warp(src, tid, reg, off, mv, mv0, sh, hw):
+            return _warp_mm(src, tid, reg, off, mv, hw)
+    else:
+        def warp(src, tid, reg, off, mv, mv0, sh, hw):
+            return _warp(src, tid, reg, off, mv, hw)
 
-    def one(src, tile_idx, regions, offs, minv, mix_r, hsv_mult, hsv_on, gray,
-            flipud, fliplr):
+    def one(src, tile_idx, regions, offs, minv, minv0, shear, mix_r,
+            hsv_mult, hsv_on, gray, flipud, fliplr):
         # cv2 warps round to uint8 before any later stage does arithmetic
         g = jnp.round(warp(src, tile_idx[0:4], regions[0], offs[0], minv[0],
-                           (imgsz, imgsz)))
+                           minv0[0], shear[0], (imgsz, imgsz)))
         if n_slots == 8:
             g2 = jnp.round(warp(src, tile_idx[4:8], regions[1], offs[1],
-                                minv[1], (imgsz, imgsz)))
+                                minv[1], minv0[1], shear[1], (imgsz, imgsz)))
             # host mixup: (im*r + im2*(1-r)).astype(uint8) — trunc toward 0
             g = jnp.floor(g * mix_r + g2 * (1.0 - mix_r))
         lum = jnp.round(0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2])
@@ -452,14 +576,15 @@ def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
         return jnp.clip(g, 0, 255).astype(jnp.uint8)
 
     # src: per-sample slots (mapped) or the shared pack (broadcast)
-    batched = jax.vmap(one, in_axes=(None if resident else 0,) + (0,) * 10)
+    batched = jax.vmap(one, in_axes=(None if resident else 0,) + (0,) * 12)
 
     if resident:
 
         @jax.jit
         def augment_batch(pack, tile_idx, aug):
             return batched(pack, tile_idx, aug["regions"], aug["offs"],
-                           aug["minv"], aug["mix_r"], aug["hsv_mult"],
+                           aug["minv"], aug["minv0"], aug["shear"],
+                           aug["mix_r"], aug["hsv_mult"],
                            aug["hsv_on"], aug["gray"], aug["flipud"],
                            aug["fliplr"])
 
@@ -470,8 +595,8 @@ def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
         b = tiles.shape[0]
         idx = jnp.tile(jnp.arange(n_slots, dtype=jnp.int32), (b, 1))
         return batched(tiles, idx, aug["regions"],
-                       aug["offs"], aug["minv"], aug["mix_r"],
-                       aug["hsv_mult"], aug["hsv_on"], aug["gray"],
-                       aug["flipud"], aug["fliplr"])
+                       aug["offs"], aug["minv"], aug["minv0"], aug["shear"],
+                       aug["mix_r"], aug["hsv_mult"], aug["hsv_on"],
+                       aug["gray"], aug["flipud"], aug["fliplr"])
 
     return augment_batch

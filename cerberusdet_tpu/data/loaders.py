@@ -130,25 +130,36 @@ class DataLoader:
         self._resident = False
         self._claimed_bytes = 0
         self._axis_aligned = False
+        self._affine_pad = 0
         if device_augment and dataset._pack is not None:
-            # rotation/shear/perspective-free hyps (the defaults) take the
-            # MXU-matmul warp instead of element gathers
+            # warp routing: rotation/shear/perspective-free hyps (the
+            # defaults) take the MXU-matmul warp; rotating/shearing hyps
+            # with perspective == 0 (the tuned voc_obj365 recipes) take the
+            # 3-pass decomposed affine warp — both gather-free; only
+            # perspective != 0 (no published recipe) still needs gathers
+            from cerberusdet_tpu.data.device_augment import required_shear_pad
+
             hyp = dataset.hyp
+            persp = hyp.get("perspective", 0)
             self._axis_aligned = not (hyp.get("degrees", 0)
-                                      or hyp.get("shear", 0)
-                                      or hyp.get("perspective", 0))
+                                      or hyp.get("shear", 0) or persp)
+            if not self._axis_aligned and not persp:
+                pad = required_shear_pad(hyp, dataset.imgsz)
+                if pad <= dataset.imgsz // 4:
+                    self._affine_pad = pad
             import jax
 
-            if (not self._axis_aligned
+            if (not self._axis_aligned and not self._affine_pad
                     and jax.default_backend() != "cpu"
                     and not os.environ.get("CERBERUS_DEVICE_AUGMENT_GATHER")):
                 # the gather-warp fallback measured ~70x off on TPU (8 img/s
-                # vs 598, PROFILE.md) — a silent cliff; rotation hyps keep
-                # the host cv2 pipeline unless explicitly overridden
-                print("augment_device: hyp draws rotation/shear/perspective "
-                      "— falling back to host augmentation (the TPU gather "
-                      "warp is ~70x slower; set CERBERUS_DEVICE_AUGMENT_"
-                      "GATHER=1 to force the device path)")
+                # vs 598, PROFILE.md) — a silent cliff; perspective (or
+                # extreme-angle) hyps keep the host cv2 pipeline unless
+                # explicitly overridden
+                print("augment_device: hyp draws perspective or extreme "
+                      "rotation — falling back to host augmentation (the "
+                      "TPU gather warp is ~70x slower; set CERBERUS_DEVICE_"
+                      "AUGMENT_GATHER=1 to force the device path)")
                 self.device_augment = False
         if self.device_augment and dataset._pack is not None:
             global _RESIDENT_CLAIMED
@@ -171,7 +182,8 @@ class DataLoader:
             if self._aug_fn is None:
                 self._aug_fn = make_augment_fn(
                     self.dataset.imgsz, item["tile_idx"].shape[1],
-                    resident=True, axis_aligned=self._axis_aligned)
+                    resident=True, axis_aligned=self._axis_aligned,
+                    shear_pad=self._affine_pad)
             if self._dev_pack is None:
                 import jax
 
@@ -182,7 +194,8 @@ class DataLoader:
             if self._aug_fn is None:
                 self._aug_fn = make_augment_fn(
                     self.dataset.imgsz, item["tiles"].shape[1],
-                    axis_aligned=self._axis_aligned)
+                    axis_aligned=self._axis_aligned,
+                    shear_pad=self._affine_pad)
             item["img"] = self._aug_fn(item.pop("tiles"), item.pop("aug"))
         return item
 

@@ -27,7 +27,7 @@ def run_mode(device_aug: bool, args, root: Path):
 
     from cerberusdet_tpu.train.trainer import TrainLoop, TrainOptions
 
-    hyp = yaml.safe_load(open("configs/hyps/hyp.cerber-default.yaml"))
+    hyp = yaml.safe_load(open(args.hyp))
     data = {
         "train": [str(root / t / "images" / "train") for t in ("t1", "t2")],
         "val": [str(root / t / "images" / "train") for t in ("t1", "t2")],
@@ -53,7 +53,8 @@ def run_mode(device_aug: bool, args, root: Path):
     out = {"mode": "device" if device_aug else "host",
            "imgs_per_sec": round(n_img / dt, 1),
            "sec_per_epoch": round(dt, 2), "imgs": n_img,
-           "imgsz": args.imgsz, "batch": args.batch, "cfg": args.cfg}
+           "imgsz": args.imgsz, "batch": args.batch, "cfg": args.cfg,
+           "hyp": args.hyp}
     print(json.dumps(out), flush=True)
     return out
 
@@ -61,6 +62,9 @@ def run_mode(device_aug: bool, args, root: Path):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", default="configs/models/yolov8x_2task.yaml")
+    p.add_argument("--hyp", default="configs/hyps/hyp.cerber-default.yaml",
+                   help="rotating hyps (voc_obj365) route through the 3-pass "
+                        "decomposed affine device warp")
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--n", type=int, default=128, help="images per task")

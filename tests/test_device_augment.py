@@ -214,6 +214,113 @@ def test_matmul_close_to_host_pipeline(toy_root, tmp_path):
         assert diff.mean() < 3.0, f"sample {i}: mean|diff|={diff.mean():.2f}"
 
 
+def test_affine_decomposition_exact():
+    """minv == M0 @ Shx @ Shy to float tolerance for random small-angle
+    affines (the published-recipe regime)."""
+    from cerberusdet_tpu.data.augment import build_perspective_matrix
+    from cerberusdet_tpu.data.device_augment import _decompose_affine
+
+    rng = random.Random(0)
+    for _ in range(200):
+        M, _, _, _ = build_perspective_matrix(
+            (256, 256), degrees=5.0, translate=0.1, scale=0.5, shear=3.0,
+            perspective=0.0, border=(-64, -64), scaleup=0.0, rng=rng)
+        minv = np.linalg.inv(M)
+        m0, (h, g) = _decompose_affine(minv)
+        shx = np.array([[1, h, 0], [0, 1, 0], [0, 0, 1]], np.float64)
+        shy = np.array([[1, 0, 0], [g, 1, 0], [0, 0, 1]], np.float64)
+        np.testing.assert_allclose(m0.astype(np.float64) @ shx @ shy, minv,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_affine3_zero_shear_matches_axis_aligned(toy_root, tmp_path):
+    """With h == g == 0 the shear passes are exact integer slices: the
+    3-pass warp must equal the axis-aligned matmul warp bitwise."""
+    host, dev = _pair(toy_root, tmp_path, HYP_AA, seed=31)
+    plans = [plan_sample(dev, i) for i in range(8)]
+    batch = collate_device(dev, plans, max_labels=20)
+    aa = np.asarray(make_augment_fn(dev.imgsz, 8, axis_aligned=True)(
+        batch["tiles"], batch["aug"]))
+    a3 = np.asarray(make_augment_fn(dev.imgsz, 8, shear_pad=6)(
+        batch["tiles"], batch["aug"]))
+    np.testing.assert_array_equal(a3, aa)
+
+
+@pytest.fixture(scope="module")
+def smooth_root(tmp_path_factory):
+    """Smooth (gradient) images: bilinear resampling reproduces linear
+    functions exactly, so the cascade of 3 bilinear passes must match cv2's
+    single pass to ~1 intensity level anywhere geometry is right — a sharp
+    geometric-correctness probe, unlike white noise where each extra
+    resample low-passes the signal and the diff measures smoothing, not
+    geometry."""
+    root = tmp_path_factory.mktemp("devaug_smooth")
+    img_dir = root / "images" / "train"
+    lb_dir = root / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lb_dir.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        h, w = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        im = np.clip(np.stack([xx / w * 200 + 20, yy / h * 200 + 20,
+                               (xx + yy) / (w + h) * 200 + 20], -1),
+                     0, 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i:03d}.png"), im)
+        lines = []
+        for _ in range(int(rng.integers(1, 4))):
+            x, y = rng.uniform(0.3, 0.7, 2)
+            bw, bh = rng.uniform(0.15, 0.3, 2)
+            lines.append(
+                f"{int(rng.integers(0, 3))} {x:.4f} {y:.4f} {bw:.4f} {bh:.4f}")
+        (lb_dir / f"{i:03d}.txt").write_text("\n".join(lines))
+    return str(img_dir)
+
+
+def test_affine3_close_to_host_rotating_hyp(smooth_root, tmp_path):
+    """The decomposed 3-pass warp vs the host cv2 single-pass warp with
+    rotation + shear enabled (the tuned voc_obj365 regime), on smooth
+    images where cascaded bilinear error is ~rounding if and only if the
+    geometry is exact (see smooth_root). The residual is edge pixels at
+    tile/border-114 discontinuities, where 3 resamples spread the step one
+    extra pixel."""
+    from cerberusdet_tpu.data.device_augment import required_shear_pad
+
+    hyp = dict(HYP_FULL, degrees=2.0, shear=2.0)
+    host, dev = _pair(smooth_root, tmp_path, hyp, seed=33)
+    K = required_shear_pad(hyp, dev.imgsz)
+    plans = [plan_sample(dev, i) for i in range(10)]
+    batch = collate_device(dev, plans, max_labels=20)
+    imgs = np.asarray(make_augment_fn(dev.imgsz, 8, shear_pad=K)(
+        batch["tiles"], batch["aug"]))
+    checked = 0
+    for i in range(10):
+        if plans[i].blurred:
+            continue
+        img_host, _, _ = host[i]
+        diff = np.abs(imgs[i].astype(np.int32) - img_host.astype(np.int32))
+        assert diff.mean() < 2.5, f"sample {i}: mean|diff|={diff.mean():.2f}"
+        assert np.percentile(diff, 95) <= 10, f"sample {i}"
+        checked += 1
+    assert checked >= 8
+
+
+def test_affine3_voc_recipe_loader_routing(toy_root, tmp_path):
+    """The loader must route the rotating-hyp (perspective-free) recipe to
+    the device path (shear_pad > 0), and the yielded pixels must match the
+    standalone affine3 program."""
+    hyp = dict(HYP_FULL, degrees=0.299, shear=0.717, mixup=0.0)
+    (tmp_path / "dlrot").mkdir(exist_ok=True)
+    _, loader = create_dataloader(
+        toy_root, imgsz=128, batch_size=4, hyp=hyp, augment=True,
+        task="rot", seed=9, cache_dir=str(tmp_path / "dlrot"),
+        augment_device=True, max_labels=20)
+    assert loader.device_augment and loader._affine_pad > 0
+    batch = next(iter(loader))
+    img = np.asarray(batch["img"])
+    assert img.shape == (4, 128, 128, 3) and img.dtype == np.uint8
+
+
 def test_requires_pack(toy_root, tmp_path):
     ds = DetectionDataset(toy_root, imgsz=128, augment=True, hyp=HYP_FULL,
                           cache_dir=str(tmp_path / "nopack"), seed=0)
