@@ -30,8 +30,12 @@ tests/test_device_augment.py):
   * geometry: integer-translation warps are bit-identical; general bilinear
     warps match cv2 up to its 5-bit fixed-point interpolation (<~2 levels);
   * HSV: float-space jitter vs cv2's uint8 LUT (<~few levels);
-  * blur/median pixel aug (p=0.01 each): consumed from the RNG stream but
-    NOT applied on device (documented approximation; grayscale IS applied).
+  * blur/median/grayscale pixel aug: applied on device — box blur matches
+    cv2.blur to <=1 level (REFLECT_101 border, separable slice sums),
+    median is the exact order statistic (bitwise vs cv2.medianBlur,
+    REPLICATE border). The rare (p=0.01 each) blur/median samples run as
+    per-(blur_k, median_k) single-sample patch-up programs in the loader so
+    the batch program never pays for them.
 
 Requires `cache_images="disk"` (the packed pre-decoded memmap): tiles must
 live in static (imgsz, imgsz) slots, and the pack's hw tables let the
@@ -76,11 +80,16 @@ class SamplePlan:
     hsv_mult: np.ndarray   # (3,) f32 h/s/v gain multipliers
     hsv_on: bool
     gray: bool
-    blurred: bool          # host path would have blurred (device skips)
+    blur_k: int            # box-blur kernel (0 = off)
+    median_k: int          # median-blur kernel (0 = off)
     flipud: bool
     fliplr: bool
     labels: np.ndarray     # (n, 6) final [cls, prob, cx, cy, w, h] normalized
     meta: dict = field(default_factory=dict)
+
+    @property
+    def blurred(self) -> bool:
+        return bool(self.blur_k or self.median_k)
 
 
 def _decompose_affine(minv: np.ndarray):
@@ -232,16 +241,15 @@ def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
     nl = len(labels)
     if nl:
         labels[:, 2:6] = xyxy2xywhn_np(labels[:, 2:6], w=s, h=s, clip=True, eps=1e-3)
-    # PixelAugment rng consumption (dataset._pixel_aug): blur and median are
-    # consumed but not applied on device (p=0.01 each); grayscale is applied
+    # PixelAugment (dataset._pixel_aug): same rng consumption as the host
+    # path; blur/median are rare (p=0.01 each) so they run as per-sample
+    # patch-up programs in the loader rather than in the batch program
     p = ds._pixel_aug
-    blurred = False
+    blur_k = median_k = 0
     if rng.random() < p.p_blur:
-        rng.choice((3, 5, 7))
-        blurred = True
+        blur_k = rng.choice((3, 5, 7))
     if rng.random() < p.p_median:
-        rng.choice((3, 5, 7))
-        blurred = True
+        median_k = rng.choice((3, 5, 7))
     gray = rng.random() < p.p_gray
     hsv_on = bool(hyp["hsv_h"] or hyp["hsv_s"] or hyp["hsv_v"])
     hsv_mult = np.ones(3, np.float32)
@@ -261,7 +269,8 @@ def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
     return SamplePlan(tile_idx=tile_idx, regions=regions, offs=offs,
                       minv=minv, minv0=minv0, shear=shear,
                       mix_r=float(mix_r), hsv_mult=hsv_mult, hsv_on=hsv_on,
-                      gray=gray, blurred=blurred, flipud=flipud,
+                      gray=gray, blur_k=blur_k, median_k=median_k,
+                      flipud=flipud,
                       fliplr=fliplr, labels=labels.astype(np.float32),
                       meta=meta)
 
@@ -314,6 +323,12 @@ def collate_device(ds: DetectionDataset, plans: List[SamplePlan],
         "fliplr": np.asarray([p.fliplr for p in plans]),
     }
     out = {"aug": aug, "meta": [p.meta for p in plans], **labels}
+    ops = [(i, p.blur_k, p.median_k) for i, p in enumerate(plans)
+           if p.blur_k or p.median_k]
+    if ops:
+        # host-side metadata: the loader patches these rare samples through
+        # a per-(blur_k, median_k) single-sample program after the batch one
+        out["pixel_ops"] = ops
     if as_indices:
         out["tile_idx"] = tile_idx
     else:
@@ -523,8 +538,36 @@ def _warp_affine3(src, tile_ids, regions, offs, minv0, shear, out_hw, K):
     return out
 
 
+def _box_blur(g, k):
+    """cv2.blur semantics: k x k normalized box filter, BORDER_REFLECT_101
+    (cv2's default), separable as row+column slice sums. Input integral
+    floats; caller rounds."""
+    import jax.numpy as jnp
+
+    r = k // 2
+    ph = jnp.pad(g, ((0, 0), (r, r), (0, 0)), mode="reflect")
+    gx = sum(ph[:, d:d + g.shape[1]] for d in range(k))
+    pv = jnp.pad(gx, ((r, r), (0, 0), (0, 0)), mode="reflect")
+    return sum(pv[d:d + g.shape[0]] for d in range(k)) * (1.0 / (k * k))
+
+
+def _median_blur(g, k):
+    """cv2.medianBlur semantics: exact k x k window median (k odd, window
+    size odd -> the middle order statistic), BORDER_REPLICATE (cv2's
+    median-specific border)."""
+    import jax.numpy as jnp
+
+    r = k // 2
+    H, W = g.shape[:2]
+    p = jnp.pad(g, ((r, r), (r, r), (0, 0)), mode="edge")
+    stack = jnp.stack([p[dy:dy + H, dx:dx + W]
+                       for dy in range(k) for dx in range(k)], axis=-1)
+    return jnp.sort(stack, axis=-1)[..., (k * k) // 2]
+
+
 def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
-                    axis_aligned: bool = False, shear_pad: int = 0):
+                    axis_aligned: bool = False, shear_pad: int = 0,
+                    pixel_ops=(0, 0)):
     """Build the jitted augmentation program.
 
     resident=False: (tiles (B, n_slots, S, S, 3) u8, aug) -> (B, S, S, 3) u8
@@ -544,6 +587,11 @@ def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
         affine warp (_warp_affine3) — pass A is the same MXU-matmul
         resample on a K-padded grid, then two bounded gather-free shear
         passes. Use required_shear_pad(hyp, imgsz) for K.
+    pixel_ops=(blur_k, median_k): static box-blur / median-blur kernels
+        applied between mixup and grayscale (the host PixelAugment point,
+        reference augmentations.py:11-40 Blur/MedianBlur p=0.01 each). The
+        batch program keeps (0, 0); the loader compiles rare per-sample
+        variants on first occurrence and patches those rows.
     """
     import jax
     import jax.numpy as jnp
@@ -568,6 +616,10 @@ def make_augment_fn(imgsz: int, n_slots: int, resident: bool = False,
                                 minv[1], minv0[1], shear[1], (imgsz, imgsz)))
             # host mixup: (im*r + im2*(1-r)).astype(uint8) — trunc toward 0
             g = jnp.floor(g * mix_r + g2 * (1.0 - mix_r))
+        if pixel_ops[0]:
+            g = jnp.round(_box_blur(g, pixel_ops[0]))
+        if pixel_ops[1]:
+            g = _median_blur(g, pixel_ops[1])
         lum = jnp.round(0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2])
         g = jnp.where(gray, jnp.repeat(lum[..., None], 3, -1), g)
         g = jnp.where(hsv_on, _hsv_jitter(g, hsv_mult), g)

@@ -43,6 +43,25 @@ _WORKER_DS: Optional[DetectionDataset] = None
 _RESIDENT_CLAIMED = 0
 _RESIDENT_LOCK = threading.Lock()
 
+_SET_ROW = None
+
+
+def _set_row(img, i, row):
+    """img[i] = row[0] on device, donating img — XLA updates the batch
+    buffer in place (used by the rare blur/median per-sample patch-ups)."""
+    global _SET_ROW
+    if _SET_ROW is None:
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def f(img, i, row):
+            return img.at[i].set(row[0])
+
+        _SET_ROW = f
+    return _SET_ROW(img, i, row)
+
 
 def _init_worker(dataset: DetectionDataset) -> None:
     global _WORKER_DS
@@ -131,6 +150,7 @@ class DataLoader:
         self._claimed_bytes = 0
         self._axis_aligned = False
         self._affine_pad = 0
+        self._pixel_fns = {}
         if device_augment and dataset._pack is not None:
             # warp routing: rotation/shear/perspective-free hyps (the
             # defaults) take the MXU-matmul warp; rotating/shearing hyps
@@ -174,10 +194,15 @@ class DataLoader:
     def _augment_on_device(self, item):
         """{tiles|tile_idx, aug, ...} -> {img: device array, ...} via the
         jitted augmentation program (dispatch is async; it overlaps the next
-        host batch and the train step)."""
+        host batch and the train step). Rare blur/median samples (p=0.01
+        each; item["pixel_ops"]) are re-augmented one-at-a-time through a
+        per-(blur_k, median_k) variant program — the pixel op sits at its
+        host-pipeline point, between mixup and grayscale — and patched into
+        the batch row in place (donated buffer)."""
         from cerberusdet_tpu.data.device_augment import make_augment_fn
 
         item = dict(item)
+        ops = item.pop("pixel_ops", ())
         if "tile_idx" in item:
             if self._aug_fn is None:
                 self._aug_fn = make_augment_fn(
@@ -188,16 +213,42 @@ class DataLoader:
                 import jax
 
                 self._dev_pack = jax.device_put(np.asarray(self.dataset._pack[0]))
-            item["img"] = self._aug_fn(self._dev_pack, item.pop("tile_idx"),
-                                       item.pop("aug"))
+            tile_idx = item.pop("tile_idx")
+            aug = item.pop("aug")
+            img = self._aug_fn(self._dev_pack, tile_idx, aug)
+            for i, bk, mk in ops:
+                fn = self._pixel_fn((bk, mk), tile_idx.shape[1], resident=True)
+                row = fn(self._dev_pack, tile_idx[i:i + 1],
+                         {k: v[i:i + 1] for k, v in aug.items()})
+                img = _set_row(img, np.int32(i), row)
         else:
             if self._aug_fn is None:
                 self._aug_fn = make_augment_fn(
                     self.dataset.imgsz, item["tiles"].shape[1],
                     axis_aligned=self._axis_aligned,
                     shear_pad=self._affine_pad)
-            item["img"] = self._aug_fn(item.pop("tiles"), item.pop("aug"))
+            tiles = item.pop("tiles")
+            aug = item.pop("aug")
+            img = self._aug_fn(tiles, aug)
+            for i, bk, mk in ops:
+                fn = self._pixel_fn((bk, mk), tiles.shape[1], resident=False)
+                row = fn(tiles[i:i + 1], {k: v[i:i + 1] for k, v in aug.items()})
+                img = _set_row(img, np.int32(i), row)
+        item["img"] = img
         return item
+
+    def _pixel_fn(self, key, n_slots, resident):
+        """Single-sample augment variant with (blur_k, median_k) applied;
+        compiled on first occurrence, cached for the loader's lifetime."""
+        fn = self._pixel_fns.get(key)
+        if fn is None:
+            from cerberusdet_tpu.data.device_augment import make_augment_fn
+
+            fn = self._pixel_fns[key] = make_augment_fn(
+                self.dataset.imgsz, n_slots, resident=resident,
+                axis_aligned=self._axis_aligned,
+                shear_pad=self._affine_pad, pixel_ops=key)
+        return fn
 
     def _collate_plans(self, plans, pool=None):
         from cerberusdet_tpu.data.device_augment import collate_device

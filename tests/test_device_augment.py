@@ -105,7 +105,7 @@ def test_full_pipeline_close_to_host(toy_root, tmp_path):
     checked = 0
     for i in range(n):
         if plans[i].blurred:
-            continue  # blur/median are consumed but not applied on device
+            continue  # blur/median run as loader patch-ups, not in-batch
         img_host, _, _ = host[i]
         diff = np.abs(imgs[i].astype(np.int32) - img_host.astype(np.int32))
         assert diff.mean() < 3.0, f"sample {i}: mean|diff|={diff.mean():.2f}"
@@ -319,6 +319,89 @@ def test_affine3_voc_recipe_loader_routing(toy_root, tmp_path):
     batch = next(iter(loader))
     img = np.asarray(batch["img"])
     assert img.shape == (4, 128, 128, 3) and img.dtype == np.uint8
+
+
+def test_box_blur_matches_cv2():
+    import jax.numpy as jnp
+
+    from cerberusdet_tpu.data.device_augment import _box_blur
+
+    rng = np.random.default_rng(3)
+    im = rng.integers(0, 255, (64, 96, 3), np.uint8)
+    for k in (3, 5, 7):
+        ours = np.asarray(jnp.round(_box_blur(jnp.asarray(im, jnp.float32),
+                                              k))).astype(np.int32)
+        ref = cv2.blur(im, (k, k)).astype(np.int32)
+        assert np.abs(ours - ref).max() <= 1, f"k={k}"
+        assert (ours != ref).mean() < 0.02, f"k={k}"  # only sum/k^2 rounding
+
+
+def test_median_blur_matches_cv2():
+    import jax.numpy as jnp
+
+    from cerberusdet_tpu.data.device_augment import _median_blur
+
+    rng = np.random.default_rng(4)
+    im = rng.integers(0, 255, (64, 96, 3), np.uint8)
+    for k in (3, 5, 7):
+        ours = np.asarray(_median_blur(jnp.asarray(im, jnp.float32),
+                                       k)).astype(np.uint8)
+        np.testing.assert_array_equal(ours, cv2.medianBlur(im, k),
+                                      err_msg=f"k={k}")
+
+
+def test_pixel_aug_full_pipeline(toy_root, tmp_path):
+    """Forced blur/median through the full device pipeline vs host cv2.
+    Integer-geometry hyp makes the warp bitwise, so diffs isolate the pixel
+    ops: median-only samples are exact, box-blur samples differ only by
+    sum/k^2 rounding (<=1, <=2 when median follows blur)."""
+    from cerberusdet_tpu.data.augment import PixelAugment
+
+    host, dev = _pair(toy_root, tmp_path, HYP_INT, seed=41)
+    for ds in (host, dev):
+        ds._pixel_aug = PixelAugment(p_blur=0.7, p_median=0.7, p_gray=0.2)
+    plans = [plan_sample(dev, i) for i in range(10)]
+    batch = collate_device(dev, plans, max_labels=20)
+    assert "pixel_ops" in batch and len(batch["pixel_ops"]) >= 5
+    imgs = np.asarray(make_augment_fn(dev.imgsz, 4, axis_aligned=True)(
+        batch["tiles"], batch["aug"])).copy()
+    for i, bk, mk in batch["pixel_ops"]:
+        fn = make_augment_fn(dev.imgsz, 4, axis_aligned=True,
+                             pixel_ops=(bk, mk))
+        row = np.asarray(fn(batch["tiles"][i:i + 1],
+                            {k: v[i:i + 1] for k, v in batch["aug"].items()}))
+        imgs[i] = row[0]
+    for i in range(10):
+        img_host, _, _ = host[i]
+        diff = np.abs(imgs[i].astype(np.int32) - img_host.astype(np.int32))
+        if plans[i].median_k and not plans[i].blur_k:
+            np.testing.assert_array_equal(imgs[i], img_host,
+                                          err_msg=f"sample {i}")
+        assert diff.max() <= 2, f"sample {i}: max={diff.max()}"
+
+
+def test_pixel_ops_loader_patchup(toy_root, tmp_path):
+    """pixel_ops flow through create_dataloader: flagged rows compile a
+    variant program and get patched in place; the batch stays deterministic
+    across two loaders."""
+    from cerberusdet_tpu.data.augment import PixelAugment
+
+    (tmp_path / "dlpix").mkdir(exist_ok=True)
+
+    def make():
+        ds, loader = create_dataloader(
+            toy_root, imgsz=128, batch_size=8, hyp=HYP_INT, augment=True,
+            task="pix", seed=5, cache_dir=str(tmp_path / "dlpix"),
+            augment_device=True, max_labels=20)
+        ds._pixel_aug = PixelAugment(p_blur=1.0, p_median=0.0, p_gray=0.0)
+        return loader
+
+    a = np.asarray(next(iter(make()))["img"])
+    loader = make()
+    b = np.asarray(next(iter(loader))["img"])
+    assert loader._pixel_fns, "no pixel-op variant program was compiled"
+    assert a.dtype == np.uint8 and a.shape == (8, 128, 128, 3)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_requires_pack(toy_root, tmp_path):
