@@ -30,6 +30,14 @@ from cerberusdet_tpu.models.config import ParsedModel, parse_model_cfg
 from cerberusdet_tpu.nn.layers import Detect
 from cerberusdet_tpu.nn.module import Ctx, Params, split_rng
 
+# experiment knob (tools/bench_int8 --barrier): wrap every block output in
+# lax.optimization_barrier so XLA cannot fuse CONSECUTIVE convolutions into
+# one kOutput fusion (the int8 trace shows 1x1+3x3 pairs at stage
+# boundaries fused into ~25%-of-peak serial fusions)
+import os as _os  # noqa: E402
+
+_BLOCK_BARRIER = bool(_os.environ.get("CERBERUS_BLOCK_BARRIER"))
+
 Label = Tuple[Tuple[int, int], ...]  # ((split_layer, group_idx), ...)
 
 
@@ -224,6 +232,10 @@ class CerberusModel:
                 from cerberusdet_tpu.nn.module import quantize_act
 
                 out = quantize_act(out, p["__q_out__"])
+            if _BLOCK_BARRIER:
+                import jax.lax
+
+                out = jax.lax.optimization_barrier(out)
             outputs[step.uid] = out
         return results
 

@@ -43,18 +43,94 @@ def c2f_sumsplit_call(self, p, x, ctx, path=()):
     return silu(acc + pc["b"]).astype(ctx.dtype)
 
 
+def c2f_sumsplit_int8_call(self, p, x, ctx, path=()):
+    """int8 variant of the sum-split rewrite: per-chunk s8 convs accumulate
+    int32 partials — EXACT same math as conv(concat) since every chunk is
+    quantized with cv2's single per-tensor scale; the s8 concat (measured
+    2.9x worse per byte than bf16 concat: 160-wide chunks misalign the
+    (4,1)-packed lane tiling) disappears entirely."""
+    from jax import lax
+
+    from cerberusdet_tpu.nn.module import quantize_act
+
+    y = self.cv1(p["cv1"], x, ctx, path + ("cv1",))
+    ys = [y[..., : self.c], y[..., self.c:]]
+    for i, b in enumerate(self.m):
+        ys.append(b(p["m"][str(i)], ys[-1], ctx, path + ("m", str(i))))
+    pc = p["cv2"]
+    assert "w_q" in pc
+    acc = None
+    off = 0
+    for t in ys:
+        tq = t if t.dtype == jnp.int8 else quantize_act(t, pc["s_x"])
+        cw = pc["w_q"][:, :, off:off + t.shape[-1], :]
+        part = lax.conv_general_dilated(
+            tq, cw, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        acc = part if acc is None else acc + part
+        off += t.shape[-1]
+    out = acc.astype(jnp.float32) * (pc["s_x"] * pc["s_w"]) + pc["b"]
+    return silu(out).astype(ctx.dtype)
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="measure the rewrite on the int8-all graph")
+    args = ap.parse_args()
+
     from cerberusdet_tpu.models.cerberus import CerberusModel
     from cerberusdet_tpu.nn.module import Ctx
 
     model = CerberusModel(
         "configs/models/yolov8x_2task.yaml", ["voc", "animals"], [20, 19])
     fused = model.fuse(model.init(jax.random.PRNGKey(0)))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (32, 640, 640, 3),
+                             jnp.float32)
+    if args.int8:
+        from cerberusdet_tpu.quant import (calibrate_amax, quantize_params,
+                                           select_all)
+
+        amax = calibrate_amax(model, fused, [img[:4]])
+        fused = quantize_params(fused, amax, select=select_all, model=model)
     fused = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 and x.ndim == 4 else x, fused)
-    img = jax.random.uniform(jax.random.PRNGKey(1), (32, 640, 640, 3),
-                             jnp.float32)
+
+    if args.int8:
+        orig = L.C2f.__call__
+        results = {}
+        # int32 addition is associative: the split must be BITWISE equal
+        small = jax.random.uniform(jax.random.PRNGKey(2), (1, 128, 128, 3),
+                                   jnp.float32)
+        base_out = jax.jit(lambda p, x: model(p, x, Ctx(train=False)))(fused, small)
+        L.C2f.__call__ = c2f_sumsplit_int8_call
+        try:
+            sp_out = jax.jit(lambda p, x: model(p, x, Ctx(train=False)))(fused, small)
+        finally:
+            L.C2f.__call__ = orig
+        for t in base_out:
+            np.testing.assert_array_equal(np.asarray(sp_out[t][0]),
+                                          np.asarray(base_out[t][0]))
+        print("bitwise equality OK", flush=True)
+        dt = bench_variant(model, fused, img, 20)
+        results["baseline_concat_int8"] = {"ms_per_batch": round(dt * 1e3, 2),
+                                           "img_per_s": round(32 / dt, 1)}
+        print("baseline_concat_int8", results["baseline_concat_int8"],
+              flush=True)
+        L.C2f.__call__ = c2f_sumsplit_int8_call
+        try:
+            dt = bench_variant(model, fused, img, 20)
+        finally:
+            L.C2f.__call__ = orig
+        results["c2f_sumsplit_int8"] = {"ms_per_batch": round(dt * 1e3, 2),
+                                        "img_per_s": round(32 / dt, 1)}
+        print("c2f_sumsplit_int8", results["c2f_sumsplit_int8"], flush=True)
+        print(json.dumps(results))
+        return
 
     orig = L.C2f.__call__
     results = {}

@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--min-cin", type=int, default=256)
+    ap.add_argument("--only", default=None,
+                    help="run a single variant: bf16 | deep | all")
     ap.add_argument("--cfg", default="configs/models/yolov8x_2task.yaml")
     ap.add_argument("--nc", default="20,19", help="per-task class counts")
     args = ap.parse_args()
@@ -87,15 +89,20 @@ def main():
         "int8_all": bf16_weights(
             quantize_params(fused, amax, select=select_all, model=model)),
     }
+    if args.only:
+        key = {"bf16": "bf16", "deep": f"int8_deep(cin>={args.min_cin})",
+               "all": "int8_all"}[args.only]
+        variants = {key: variants[key]}
     results = {}
     for name, p in variants.items():
         dt = bench_variant(model, p, img, args.iters)
         results[name] = {"ms_per_batch": round(dt * 1e3, 2),
                          "img_per_s": round(args.batch / dt, 1)}
         print(name, results[name], flush=True)
-    base = results["bf16"]["img_per_s"]
+    base = results.get("bf16", {}).get("img_per_s")
     for name, r in results.items():
-        r["speedup_vs_bf16"] = round(r["img_per_s"] / base, 3)
+        if base:
+            r["speedup_vs_bf16"] = round(r["img_per_s"] / base, 3)
     print(json.dumps(results))
 
 
