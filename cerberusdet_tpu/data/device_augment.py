@@ -122,9 +122,14 @@ def required_shear_pad(hyp: dict, imgsz: int) -> int:
     """Static padding K for the 3-pass affine device warp: a provable bound
     on the shear-pass shift. For minv = (1/s)R(-theta)Sh^-1 (perspective 0)
     the decomposed |h|, |g| are scale-free and bounded by
-    (tan|theta|max + tan|alpha|max) / (1 - tan^2), so
-    K = ceil(bound * 1.1 * imgsz) + 2 guarantees |h|*(imgsz+K) <= K-1.
-    Returns 0 for axis-aligned hyps (no shear passes needed)."""
+    b = (tan|theta|max + tan|alpha|max) / (1 - tan^2). The x-shear pass
+    runs on the K-padded row grid, so the guarantee needed is
+    |h|*(imgsz+K) <= K-1, i.e. K >= (b*imgsz + 1) / (1 - b) — the padding
+    itself extends the shift range (pinned by
+    test_shear_pad_bound_covers_draws: hat weights silently zero out
+    beyond [0, 2K]). Returns 0 for axis-aligned hyps (no shear passes) or
+    extreme angles (b >= 0.5: no reasonable K exists — callers fall back
+    to the gather/host path)."""
     import math as _m
 
     deg = float(hyp.get("degrees", 0.0))
@@ -134,7 +139,9 @@ def required_shear_pad(hyp: dict, imgsz: int) -> int:
     t = _m.tan(_m.radians(min(abs(deg), 44.0))) + _m.tan(
         _m.radians(min(abs(sh), 44.0)))
     bound = t / max(1.0 - t * t, 0.5)
-    return int(_m.ceil(bound * 1.1 * imgsz)) + 2
+    if bound >= 0.5:
+        return 0
+    return int(_m.ceil((bound * imgsz + 1.0) / (1.0 - bound))) + 2
 
 
 def _plan_mosaic_warp(ds: DetectionDataset, index: int, rng):

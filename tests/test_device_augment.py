@@ -233,6 +233,37 @@ def test_affine_decomposition_exact():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_shear_pad_bound_covers_draws():
+    """Safety property: required_shear_pad's K must bound the shear-pass
+    shifts (|h|*(H+K) <= K-1 and |g|*W <= K-1) for EVERY draw of the hyp's
+    distribution — the hat weights silently go to zero (black pixels)
+    beyond the static shift range. Fuzz 2000 draws of the published
+    voc_obj365 recipe and a harsher one."""
+    from cerberusdet_tpu.data.augment import build_perspective_matrix
+    from cerberusdet_tpu.data.device_augment import (
+        _decompose_affine,
+        required_shear_pad,
+    )
+
+    # the published recipe must stay device-eligible (loader gate: K <= S/4)
+    assert 0 < required_shear_pad({"degrees": 0.299, "shear": 0.717},
+                                  640) <= 160
+    for deg, sh, sc, imgsz in [(0.299, 0.717, 0.898, 640),
+                               (5.0, 5.0, 0.5, 128), (10.0, 8.0, 0.9, 320)]:
+        hyp = {"degrees": deg, "shear": sh}
+        K = required_shear_pad(hyp, imgsz)
+        assert K > 0, "fuzz hyps must exercise the bound"
+        rng = random.Random(99)
+        for _ in range(2000):
+            M, _, _, _ = build_perspective_matrix(
+                (imgsz * 2, imgsz * 2), degrees=deg, translate=0.1, scale=sc,
+                shear=sh, perspective=0.0, border=(-imgsz // 2, -imgsz // 2),
+                scaleup=0.0, rng=rng)
+            _, (h, g) = _decompose_affine(np.linalg.inv(M))
+            assert abs(h) * (imgsz + K) <= K - 1 + 1e-6, (deg, sh, h, K)
+            assert abs(g) * imgsz <= K - 1 + 1e-6, (deg, sh, g, K)
+
+
 def test_affine3_zero_shear_matches_axis_aligned(toy_root, tmp_path):
     """With h == g == 0 the shear passes are exact integer slices: the
     3-pass warp must equal the axis-aligned matmul warp bitwise."""
