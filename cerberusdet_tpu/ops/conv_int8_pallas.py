@@ -22,9 +22,18 @@ lax.conv_general_dilated(preferred_element_type=int32) (pinned by the
 multiply-add into an FMA in either formulation).
 
 Scope: k=3, stride 1, SAME padding, groups=1, dilation=1 — exactly the
-C2f/Bottleneck conv shape class the roofline analysis flags. Everything
-else stays on XLA's conv emitter (which wins on aligned channels;
-measured r2/r3).
+C2f/Bottleneck conv shape class the roofline analysis flags.
+
+**Measured verdict (v5e, tools/bench_pallas_conv, chained-loop): REJECTED —
+0.58-0.89x vs XLA's conv emitter on all three shape classes.** The im2col
+writes at tap offsets 160*t % 128 != 0 are lane ROTATIONS, and their VPU
+cost exceeds the MXU lane-repack gain; the rotation-free alternative
+(tap-major (9, M, Ci) patches + multi-dim contraction) is unsupported by
+Mosaic ("tpu.matmul: lhs contracting dims must be of size 1"). Kept as a
+correctness-pinned experiment + measurement harness; NOT routed into
+conv2d_int8. Full numbers in PROFILE.md round-4. Same conclusion family
+as the r2 Pallas convs and r3 space-to-depth: XLA's conv emitter wins
+every head-to-head on this hardware generation.
 
 Reference counterpart: none (the reference serves fp16 via cuDNN).
 """
@@ -40,8 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tr(h: int, w: int, ci: int) -> int:
-    """Output-row tile: M = TR*W >= ~512 for MXU depth, patches <= ~4 MB."""
-    budget = 4 * 1024 * 1024
+    """Output-row tile: M = TR*W large enough for MXU depth, patches
+    <= ~2 MB (the whole-image block + patches + padded i32 accumulator +
+    double-buffered out blocks must fit the 16 MB VMEM: the 4 MB budget
+    OOM'd by 24 KB at (160,160,80) on v5e)."""
+    budget = 2 * 1024 * 1024
     tr = h
     while tr > 1 and (tr * w * 9 * ci > budget or h % tr):
         tr -= 1
@@ -82,7 +94,13 @@ def _conv_kernel(x_ref, w_ref, scale_ref, bias_ref, qs_ref, out_ref,
     def _bot():
         xpad_ref[tr + 1, 1:w + 1, :] = x_ref[0, r0 + tr, :, :]
 
-    # --- im2col: nine shifted copies, all VMEM->VMEM
+    # --- im2col: nine shifted copies, all VMEM->VMEM. The (M, 9*Ci)
+    # layout is forced: Mosaic's tpu.matmul only contracts ONE dim, so a
+    # lane-aligned tap-major (9, M, Ci) patch tensor + multi-dim
+    # dot_general is unsupported ("lhs contracting dims must be of size
+    # 1") — and with Ci % 128 != 0 these writes land at rotated lane
+    # offsets, which is exactly where the measured time goes (PROFILE
+    # round-4 rejection table).
     for dy in range(3):
         for dx in range(3):
             k0 = (dy * 3 + dx) * ci

@@ -30,15 +30,25 @@ SHAPES = [
 ]
 
 
-def bench(fn, args, iters):
-    y = fn(*args)
-    jax.block_until_ready(y)
+def bench(fn, x, p, iters):
+    """K-iteration jitted dependent chain (bench.py methodology: one
+    dispatch, on-device data dependency between iterations — per-call
+    relay round trips measured ~25 ms and would swamp sub-ms convs)."""
+
+    @partial(jax.jit, static_argnames=("k",))
+    def loop(x, p, k):
+        def body(i, xx):
+            y = fn(xx, p)
+            sink = (y[0, 0, 0, :].astype(jnp.float32).sum() * 0.0)
+            return xx + sink.astype(xx.dtype)
+
+        return jax.lax.fori_loop(0, k, body, x)[0, 0, 0, :]
+
+    np.asarray(loop(x, p, iters))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            y = fn(*args)
-        jax.block_until_ready(y)
+        np.asarray(loop(x, p, iters))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -64,11 +74,11 @@ def main():
         x = jnp.asarray(
             rng.integers(-127, 128, (args.batch, h, w, ci)), jnp.int8)
 
-        @jax.jit
         def xla_fn(x, p):
             return silu(conv2d_int8(x, p)).astype(jnp.bfloat16)
 
-        pallas_fn = jax.jit(partial(conv3x3_s8, act=True, tr=args.tr))
+        def pallas_fn(x, p):
+            return conv3x3_s8(x, p, act=True, tr=args.tr)
 
         # on-device bitwise check of the integer path first
         small = x[:1]
@@ -79,8 +89,8 @@ def main():
         got = conv3x3_s8(small, p, raw=True, tr=args.tr)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
-        t_xla = bench(xla_fn, (x, p), args.iters)
-        t_pl = bench(pallas_fn, (x, p), args.iters)
+        t_xla = bench(xla_fn, x, p, args.iters)
+        t_pl = bench(pallas_fn, x, p, args.iters)
         macs = args.batch * h * w * co * 9 * ci
         peak = 394e12
         out = {"shape": label,
