@@ -123,6 +123,9 @@ def main():
         ok &= d50 <= args.tol
     report["parity"] = bool(ok)
     print(json.dumps(report, indent=1))
+    out = Path(args.weights).parent / "crosscheck_report.json"
+    out.write_text(json.dumps(report, indent=1))
+    print(f"report -> {out}")
     return 0 if ok else 1
 
 
