@@ -27,12 +27,16 @@ class PixelAugment:
     """Low-probability pixel-level augmentation: blur / median-blur / grayscale.
 
     Behavioral parity target: cerberusdet/data/augmentations.py:11-40 — the
-    reference wraps albumentations (Blur p=.01, MedianBlur p=.01, ToGray p=.01);
-    albumentations is not in this image, so the same transforms are applied
-    with cv2 directly.
+    reference wraps albumentations: A.Blur(p=0.1), A.MedianBlur(p=0.1),
+    A.ToGray(p=0.01) (augmentations.py:21); albumentations is not in this
+    image, so the same transforms are applied with cv2 directly. Kernel draw:
+    albumentations 1.0.3 (the reference's pinned minimum, checks.py
+    check_version) draws Blur/MedianBlur ksize from
+    np.arange(blur_limit[0], blur_limit[1]+1, 2) with blur_limit=(3, 7) —
+    odd {3, 5, 7} only — which (3, 5, 7) matches.
     """
 
-    def __init__(self, p_blur: float = 0.01, p_median: float = 0.01,
+    def __init__(self, p_blur: float = 0.1, p_median: float = 0.1,
                  p_gray: float = 0.01):
         self.p_blur, self.p_median, self.p_gray = p_blur, p_median, p_gray
 

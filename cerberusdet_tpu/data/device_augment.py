@@ -249,8 +249,10 @@ def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
     if nl:
         labels[:, 2:6] = xyxy2xywhn_np(labels[:, 2:6], w=s, h=s, clip=True, eps=1e-3)
     # PixelAugment (dataset._pixel_aug): same rng consumption as the host
-    # path; blur/median are rare (p=0.01 each) so they run as per-sample
-    # patch-up programs in the loader rather than in the batch program
+    # path; blur/median (p=0.1 each, matching the reference's
+    # A.Blur/A.MedianBlur — ~19% of samples draw at least one) run as
+    # per-(blur_k, median_k) patch-up programs in the loader rather than in
+    # the batch program (throughput at the 0.1 rate measured in PROFILE.md)
     p = ds._pixel_aug
     blur_k = median_k = 0
     if rng.random() < p.p_blur:
@@ -271,8 +273,20 @@ def plan_sample(ds: DetectionDataset, index: int) -> SamplePlan:
         labels[:, 2] = 1 - labels[:, 2]
     minv0 = np.stack([np.eye(3, dtype=np.float32)] * 2)
     shear = np.zeros((2, 2), np.float32)
+    needs_3pass = required_shear_pad(hyp, s) > 0
     for k in range(2):
         minv0[k], shear[k] = _decompose_affine(minv[k])
+        # If the loader will route this plan to the 3-pass shear warp, the
+        # decomposition MUST have succeeded: on failure it returns
+        # (minv, zeros) and _warp_affine3 would silently drop the
+        # off-diagonal terms, corrupting pixels. Unreachable while
+        # required_shear_pad gates bound < 0.5, but fail loudly if a future
+        # hyp/gate change breaks that invariant (ADVICE r4).
+        if needs_3pass and abs(minv0[k][0, 1]) + abs(minv0[k][1, 0]) > 1e-6:
+            raise RuntimeError(
+                "affine decomposition failed for a plan on the 3-pass shear "
+                f"path (minv={minv[k].tolist()}); this sample would be "
+                "silently mis-warped — route it to the gather/host path")
     return SamplePlan(tile_idx=tile_idx, regions=regions, offs=offs,
                       minv=minv, minv0=minv0, shear=shear,
                       mix_r=float(mix_r), hsv_mult=hsv_mult, hsv_on=hsv_on,

@@ -15,6 +15,7 @@ import cv2
 import numpy as np
 import pytest
 
+from cerberusdet_tpu.data.augment import PixelAugment
 from cerberusdet_tpu.data.dataset import DetectionDataset
 from cerberusdet_tpu.data.device_augment import (
     collate_device,
@@ -59,10 +60,20 @@ def toy_root(tmp_path_factory):
 
 
 def _pair(toy_root, tmp_path, hyp, imgsz=128, seed=3):
-    """(host dataset, device dataset) over the same files/hyp/seed."""
-    mk = lambda: DetectionDataset(  # noqa: E731
-        toy_root, imgsz=imgsz, augment=True, hyp=hyp, cache_images="disk",
-        cache_dir=str(tmp_path), seed=seed)
+    """(host dataset, device dataset) over the same files/hyp/seed.
+
+    Pixel aug (blur/median/gray) is pinned OFF: these tests compare the raw
+    batch program (geometry/HSV/flip only) against the host path, and
+    blur/median run as loader patch-ups outside that program. The RNG draws
+    still happen (p=0 short-circuits after the draw), so streams stay
+    aligned with the default-probability datasets. Dedicated pixel-aug tests
+    construct their own PixelAugment."""
+    def mk():
+        ds = DetectionDataset(
+            toy_root, imgsz=imgsz, augment=True, hyp=hyp, cache_images="disk",
+            cache_dir=str(tmp_path), seed=seed)
+        ds._pixel_aug = PixelAugment(p_blur=0.0, p_median=0.0, p_gray=0.0)
+        return ds
     return mk(), mk()
 
 

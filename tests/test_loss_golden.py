@@ -6,7 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-pytestmark = pytest.mark.smoke  # fast core tier: pytest -m smoke
+# NOTE: no module-level smoke mark — it would stack with @pytest.mark.slow
+# below and pull the slow golden test into the fast tier (ADVICE r4).
 
 
 @pytest.mark.slow
