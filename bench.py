@@ -6,10 +6,14 @@ Baseline: the reference's published 2-task speed, 7.2 ms/img on V100 b32 fp16
 
 Serving precision: int8 PTQ over the fused convs (quant/ptq.py) — the TPU
 serving analog of the reference baseline's fp16. Accuracy was measured, not
-assumed: mAP50 deltas vs bf16 are <=0.004 on the trained quickstart model
-(PROFILE.md round-3 int8 section) on top of fp64-proven graph parity at 640.
-`--bf16` runs the pure-bf16 path (279 img/s, 2.01x) for comparison;
-PROFILE.md records both.
+assumed: mAP50 deltas vs bf16 are <=0.002 on the CONVERGED v8x@640 run
+(PROFILE.md round-4/5 int8 accuracy tables). Activation scales calibrate on
+the committed sample images in assets/calib/ (same distribution the accuracy
+tables use — synthetic-dataset frames, not random noise) and the resulting
+amax set is asserted against the committed golden in
+assets/calib/amax_golden.json (regenerate with --write-golden after an
+intentional model/quant change). `--bf16` runs the pure-bf16 path for
+comparison; PROFILE.md records both.
 
 Methodology: the K-step forward loop runs INSIDE one jitted fori_loop with a
 data dependency between iterations, and completion is forced by fetching a
@@ -20,12 +24,18 @@ The loop carry consumes a reduction of EVERY task's output, and the bench
 asserts the compiled loop's convolution count is >= the all-heads forward's
 (round 1 regression: a carry that touched only one head let XLA dead-code-
 eliminate the entire second branch, inflating throughput ~30%).
+
+`--batch` / `--cfg` sweep the serving batch size and the model config (e.g.
+configs/models/yolov8x_2task_tpu.yaml — the lane-aligned variant); the
+headline defaults stay on the reference-width config at the reference's b32
+(the batch-scaling study is in PROFILE.md).
 """
 
 import argparse
 import json
 import time
 from functools import partial
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -34,29 +44,72 @@ import numpy as np
 
 from cerberusdet_tpu.utils.profiling import conv_count  # noqa: E402
 
+GOLDEN = Path(__file__).parent / "assets" / "calib" / "amax_golden.json"
+
+
+def calib_batches(n: int = 1):
+    """The committed calibration images (assets/calib/*.jpg), letterboxed to
+    640 and normalized exactly like the serving preprocessor."""
+    import cv2
+
+    imgs = []
+    for p in sorted((Path(__file__).parent / "assets" / "calib").glob("*.jpg")):
+        im = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
+        im = cv2.resize(im, (640, 640), interpolation=cv2.INTER_LINEAR)
+        imgs.append(im.astype(np.float32) / 255.0)
+    assert imgs, f"no calibration images in {Path(__file__).parent/'assets/calib'}"
+    return [np.stack(imgs)]
+
+
+def check_golden_amax(amax: dict, cfg: str, write: bool) -> None:
+    """Assert the calibrated activation scales match the committed golden set
+    (rtol 0.05): guards against the calibration inputs silently drifting from
+    the distribution the accuracy tables were measured on."""
+    key = Path(cfg).stem
+    flat = {"/".join(map(str, k)): v for k, v in amax.items()}
+    if write or not GOLDEN.exists():
+        data = json.loads(GOLDEN.read_text()) if GOLDEN.exists() else {}
+        data[key] = flat
+        GOLDEN.write_text(json.dumps(data, indent=0, sort_keys=True))
+        return
+    data = json.loads(GOLDEN.read_text())
+    if key not in data:
+        data[key] = flat
+        GOLDEN.write_text(json.dumps(data, indent=0, sort_keys=True))
+        return
+    gold = data[key]
+    assert set(gold) == set(flat), "amax key set drifted vs golden"
+    bad = {k: (gold[k], flat[k]) for k in gold
+           if abs(flat[k] - gold[k]) > 0.05 * max(abs(gold[k]), 1e-6)}
+    assert not bad, f"calibrated amax drifted >5% vs committed golden: {bad}"
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true",
                     help="pure bf16 (no int8 PTQ) for comparison")
+    ap.add_argument("--batch", type=int, default=32,
+                    help="serving batch size")
+    ap.add_argument("--cfg", default="configs/models/yolov8x_2task.yaml",
+                    help="model yaml (reference widths by default; "
+                         "yolov8x_2task_tpu.yaml is the lane-aligned variant)")
+    ap.add_argument("--write-golden", action="store_true",
+                    help="rewrite assets/calib/amax_golden.json for this cfg")
     args = ap.parse_args()
 
     from cerberusdet_tpu.models.cerberus import CerberusModel
     from cerberusdet_tpu.nn.module import Ctx
 
-    batch = 32
+    batch = args.batch
     iters = 20
-    model = CerberusModel(
-        "configs/models/yolov8x_2task.yaml", ["voc", "animals"], [20, 19]
-    )
+    model = CerberusModel(args.cfg, ["voc", "animals"], [20, 19])
     params = model.fuse(model.init(jax.random.PRNGKey(0)))  # fold BN for inference
     if not args.bf16:
         # int8 PTQ serving path (mAP-delta measured — see module docstring)
         from cerberusdet_tpu.quant import calibrate_amax, quantize_params, select_all
 
-        calib = jax.random.uniform(jax.random.PRNGKey(2), (4, 640, 640, 3),
-                                   jnp.float32)
-        amax = calibrate_amax(model, params, [calib])
+        amax = calibrate_amax(model, params, calib_batches())
+        check_golden_amax(amax, args.cfg, args.write_golden)
         params = quantize_params(params, amax, select=select_all, model=model)
     # bf16 weights for the unquantized convs: halve HBM traffic, MXU-native
     params = jax.tree_util.tree_map(
