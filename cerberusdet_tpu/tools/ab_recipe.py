@@ -157,6 +157,34 @@ def _install_ref_shims():
 
 def _ref_child(argv):
     _install_ref_shims()
+
+    # Work around a REAL reference defect found by this A/B (root-caused on
+    # live runs, see PROFILE.md round-5): ModelManager.plot_train_images
+    # (utils/models_manager.py:399-418) calls
+    # tb.add_graph(torch.jit.trace(model, imgs[0:1])) at iteration 0 of
+    # EVERY epoch — the trace executes train-mode forwards through the LIVE
+    # model with 0-255-scale images, clobbering BatchNorm running stats
+    # (first-layer running_var measured at 187 after epoch 0 vs batch-stat
+    # ~3e-4; eval-mode mAP pinned at ~0 while train loss converges). At the
+    # reference's published scale (thousands of iters/epoch) the pollution
+    # decays by 0.97^iters and is invisible; at A/B scale (64 iters/epoch)
+    # it destroys every eval. The A/B disables ONLY the jit-trace graph
+    # logging (image plotting kept) so the experiment measures the recipe,
+    # not the bug.
+    from cerberusdet.utils import models_manager as mm
+
+    def plot_train_images(self, ni, task, batch, model):
+        from cerberusdet.utils.plots import plot_images
+        if ni < 3:
+            plot_images(
+                images=batch["img"], batch_idx=batch["batch_idx"],
+                cls=batch["cls"].squeeze(-1), bboxes=batch["bboxes"],
+                paths=batch["im_file"],
+                fname=self.save_dir / f"train_batch{ni}_{task}.jpg",
+                mlflow_logger=self.loggers["mlflow"])
+
+    mm.ModelManager.plot_train_images = plot_train_images
+
     sys.argv = ["train.py"] + argv
     from cerberusdet.train import main, parse_opt
     main(parse_opt())
@@ -184,9 +212,11 @@ def run_ref(out: Path, name="ref_s0"):
             "--imgsz", str(IMGSZ), "--device", "cpu", "--workers", "0",
             "--weights", "", "--project", str(out / "runs"),
             "--name", name, "--exist-ok"]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     subprocess.run([sys.executable, "-m", "cerberusdet_tpu.tools.ab_recipe",
                     "--out", str(out), "--role", "ref-child", "--"] + args,
-                   cwd=str(out), check=True, env=dict(os.environ))
+                   cwd=str(out), check=True, env=env)
 
 
 def run_ours(out: Path, seed: int):
