@@ -26,9 +26,10 @@ asserts the compiled loop's convolution count is >= the all-heads forward's
 eliminate the entire second branch, inflating throughput ~30%).
 
 `--batch` / `--cfg` sweep the serving batch size and the model config (e.g.
-configs/models/yolov8x_2task_tpu.yaml — the lane-aligned variant); the
-headline defaults stay on the reference-width config at the reference's b32
-(the batch-scaling study is in PROFILE.md).
+configs/models/yolov8x_2task_tpu.yaml — the lane-aligned variant, ~680
+img/s). The headline default is the reference-width config at batch 128
+(the round-5 batch-scaling winner; `--batch 32` reproduces the reference's
+own batch protocol at 377 img/s — full study in PROFILE.md).
 """
 
 import argparse
@@ -88,8 +89,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true",
                     help="pure bf16 (no int8 PTQ) for comparison")
-    ap.add_argument("--batch", type=int, default=32,
-                    help="serving batch size")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="serving batch size (default 128 — the round-5 "
+                         "batch-scaling winner: 514 vs 377 img/s at the "
+                         "reference's b32; see PROFILE.md)")
     ap.add_argument("--cfg", default="configs/models/yolov8x_2task.yaml",
                     help="model yaml (reference widths by default; "
                          "yolov8x_2task_tpu.yaml is the lane-aligned variant)")
