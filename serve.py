@@ -28,7 +28,9 @@ def parse_opt(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=8,
                    help="the ONE compiled serving batch shape; partial "
-                        "batches are padded to it")
+                        "batches are padded to it (throughput deployments: "
+                        "128 — the v5e batch-scaling winner, +36% img/s "
+                        "over 32 at ~250 ms/batch; PROFILE.md round-5)")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="batch-fill wait after the first request arrives")
     p.add_argument("--mesh", action="store_true",
