@@ -110,3 +110,47 @@ def test_leaf_groups(setup):
     assert groups["b0"]["bn"]["bias"] == 2
     assert groups["b0"]["bn"]["mean"] == -1
     assert groups["head_a"]["box0"]["2"]["b"] == 2
+
+
+@pytest.mark.smoke
+def test_task_order_invariance():
+    """The jitted multi-task step is task-order-invariant by construction
+    (T forwards in one program, gradients summed) — the property the
+    reference's sequential averaging trainer lacks (PROFILE.md round-5
+    A/B: reversing task_ids moves its converged fitness by 0.2-0.4).
+    Params are task-name-keyed, so the same state is steppable under both
+    task orders; updates must agree to float-summation tolerance."""
+    m1 = CerberusModel("configs/models/yolov8n.yaml", ["a", "b"], [2, 3])
+    m2 = CerberusModel("configs/models/yolov8n.yaml", ["b", "a"], [3, 2])
+    la = DetectionLoss(nc=2, strides=m1.strides)
+    lb = DetectionLoss(nc=3, strides=m1.strides)
+    t1 = MultiTaskTrainer(m1, {"a": la, "b": lb})
+    t2 = MultiTaskTrainer(m2, {"b": lb, "a": la})
+    params = m1.init(jax.random.PRNGKey(0))
+    batches = {"a": _batch(nc=2, seed=0), "b": _batch(nc=3, seed=1)}
+    lrs = np.full(3, 0.01, np.float32)
+
+    s1, items1 = t1.step(init_train_state(params), batches, lrs, 0.9)
+    s2, items2 = t2.step(init_train_state(params), dict(reversed(batches.items())),
+                         lrs, 0.9)
+    assert set(items1) == set(items2) == {"a", "b"}
+    for t in items1:
+        np.testing.assert_allclose(float(items1[t].total), float(items2[t].total),
+                                   rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(s1.params)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(s2.params))
+    # Weights/optimizer state see only the SUMMED gradients, so they are
+    # order-invariant up to float associativity (~1e-5). BN running stats
+    # keep the usual sequential-EMA recency weighting: swapping the task
+    # order perturbs them by O(momentum^2)*|mu_a - mu_b| ~ 2e-4 per step —
+    # bounded and decaying, unlike the reference where task order moves
+    # CONVERGED fitness by 0.2-0.4 (PROFILE.md round-5 swap control).
+    groups = build_group_tree(params)
+    gflat = dict(jax.tree_util.tree_leaves_with_path(groups))
+    for path, leaf in flat1:
+        is_stat = gflat[path] == -1
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat2[path]),
+            rtol=5e-3 if is_stat else 2e-4,
+            atol=1e-3 if is_stat else 1e-5,
+            err_msg=jax.tree_util.keystr(path))
