@@ -35,6 +35,16 @@ Usage:
     python -m cerberusdet_tpu.tools.ab_recipe --out /tmp/ab --run-ref
     python -m cerberusdet_tpu.tools.ab_recipe --out /tmp/ab --run-ours --seeds 0,1,2
     python -m cerberusdet_tpu.tools.ab_recipe --out /tmp/ab --report
+
+Round-5 outcome + controls (full narrative in PROFILE.md "Training-recipe
+A/B", artifacts in evidence/round5/): task a equivalent; on task b the
+reference's own trainer loses 0.21 fitness (blue class 0.444 mAP50),
+root-caused to an order-sensitive small-scale instability of its
+sequential gradient-averaging trainer — pinned by batch-stats /
+BN-recalibration / val-on-train-split probes (weights, not stats), a
+single-task reference run (blue 0.994 — recipe and data are fine), and an
+order-swapped run (both its tasks degrade). The reference child can be
+pointed at a reordered data yaml to reproduce the swap control.
 """
 
 from __future__ import annotations
